@@ -1,0 +1,236 @@
+"""Band geometry and host-side packing for banded pair-DP on TPU.
+
+The DP grid is in *prefix coordinates*: cell (i, j) means "i read symbols and
+j ref symbols emitted", i in [0, m], j in [0, n].  Anti-diagonal d = i + j runs
+from 0 to m+n.  For each d the band is a fixed-width window of W consecutive
+i-values [lo(d), lo(d)+W); lo is monotone non-decreasing with increments in
+{0, 1}, which lets the device kernel express band motion as per-lane selects
+between rolled arrays instead of gathers.
+
+This replaces the reference's cPecanRealign banding
+(--diagonalExpansion / anchor corridors; see SURVEY.md §5 "long-context") with
+a TPU-friendly fixed-width wavefront: the band follows the guide alignment
+path, covering ~W/2 cells either side of it on every anti-diagonal.
+
+Packing: a batch of reads becomes dense [D+1, Wp, B] arrays with the band
+window (Wp = W + 2 guard rows) in the sublane dimension and reads in the lane
+dimension.  All packing is vectorised numpy on the host; the device only ever
+sees static shapes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.seq import encode
+
+GUARD = 2  # guard rows appended to the band so rolls wrap into masked cells
+
+
+def path_from_cigar(
+    ops: Sequence[Tuple[int, int]],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Prefix-coordinate path (d_t, i_t) of an alignment cigar.
+
+    ops are (op, length) with 0=M, 1=I (read-only), 2=D (ref-only), relative
+    to the aligned region (no clips).  Returns strictly-increasing d values
+    and the corresponding i values, starting at (0, 0).
+    """
+    ds = [0]
+    is_ = [0]
+    i = j = 0
+    for op, length in ops:
+        if op == 0:
+            for _ in range(length):
+                i += 1
+                j += 1
+                ds.append(i + j)
+                is_.append(i)
+        elif op == 1:
+            i += length
+            ds.append(i + j)
+            is_.append(i)
+        elif op == 2:
+            j += length
+            ds.append(i + j)
+            is_.append(i)
+        else:
+            raise ValueError("Unexpected op %d in aligned cigar" % op)
+    return np.asarray(ds, dtype=np.int64), np.asarray(is_, dtype=np.int64)
+
+
+def band_offsets(
+    m: int,
+    n: int,
+    width: int,
+    path_d: Optional[np.ndarray] = None,
+    path_i: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """lo(d) for d in [0, m+n]: the band's first i-index per anti-diagonal.
+
+    If no guide path is given, the band follows the main diagonal (global
+    alignment of similar-length sequences).  Guarantees lo(0)=0, monotone
+    increments in {0, 1}, and that the band contains (0,0) and (m,n).
+    """
+    D = m + n
+    dr = np.arange(D + 1, dtype=np.float64)
+    if path_d is None:
+        center = dr * (m / max(1, D))
+    else:
+        center = np.interp(dr, path_d.astype(np.float64), path_i.astype(np.float64))
+    lo = np.floor(center).astype(np.int64) - width // 2
+    hi_cap = max(0, m + 1 - width)
+    lo = np.clip(lo, 0, hi_cap)
+    # floor() of a <=1-slope monotone function keeps increments in {0,1}.
+    steps = np.diff(lo)
+    assert np.all((steps >= 0) & (steps <= 1)), "band offsets must step by 0/1"
+    return lo
+
+
+@dataclass
+class BandedBatch:
+    """A device-ready batch of banded read/ref pairs.
+
+    Shapes: D1 = max(m+n)+1 over the batch, Wp = width + GUARD, B = batch.
+      xb      [D1, Wp, B] int8   ref code at cell (d, k)   (x index j-1)
+      yb      [D1, Wp, B] int8   read code at cell (d, k)  (y index i-1)
+      valid   [D1, Wp, B] bool   cell inside grid and band
+      s1      [D1, B]     int32  lo(d) - lo(d-1)   (0 for padded steps)
+      s2      [D1, B]     int32  lo(d) - lo(d-2)
+      lo      [D1, B]     int32  band offsets (for unpacking results)
+      final_d [B]         int32  d of terminal cell (m, n)
+      final_k [B]         int32  band index of terminal cell
+      m, n    [B]         int32  sequence lengths
+    """
+
+    xb: np.ndarray
+    yb: np.ndarray
+    valid: np.ndarray
+    s1: np.ndarray
+    s2: np.ndarray
+    lo: np.ndarray
+    final_d: np.ndarray
+    final_k: np.ndarray
+    m: np.ndarray
+    n: np.ndarray
+    width: int
+
+    @property
+    def num_steps(self) -> int:
+        return self.xb.shape[0]
+
+    @property
+    def batch(self) -> int:
+        return self.xb.shape[2]
+
+    @property
+    def wp(self) -> int:
+        return self.xb.shape[1]
+
+    def dp_cells(self) -> int:
+        """Number of in-band DP cells (for throughput accounting)."""
+        return int(self.valid.sum())
+
+
+def pack_banded_batch(
+    reads: Sequence[np.ndarray],
+    refs: Sequence[np.ndarray],
+    width: int,
+    paths: Optional[Sequence[Optional[Tuple[np.ndarray, np.ndarray]]]] = None,
+    pad_batch_to: Optional[int] = None,
+    pad_steps_to: Optional[int] = None,
+) -> BandedBatch:
+    """Pack encoded read/ref code arrays into a BandedBatch.
+
+    reads[b], refs[b]: int8 code arrays (A=0..T=3, N=4).  paths[b] is an
+    optional (path_d, path_i) guide path in prefix coordinates.
+    """
+    B0 = len(reads)
+    assert len(refs) == B0
+    ms = np.array([len(r) for r in reads], dtype=np.int64)
+    ns = np.array([len(r) for r in refs], dtype=np.int64)
+    D1 = int((ms + ns).max()) + 1
+    if pad_steps_to is not None:
+        assert pad_steps_to >= D1
+        D1 = pad_steps_to
+    B = pad_batch_to if pad_batch_to is not None else B0
+    assert B >= B0
+    Wp = width + GUARD
+
+    xb = np.zeros((D1, Wp, B), dtype=np.int8)
+    yb = np.zeros((D1, Wp, B), dtype=np.int8)
+    valid = np.zeros((D1, Wp, B), dtype=bool)
+    s1 = np.zeros((D1, B), dtype=np.int32)
+    s2 = np.zeros((D1, B), dtype=np.int32)
+    lo_all = np.zeros((D1, B), dtype=np.int32)
+    final_d = np.zeros(B, dtype=np.int32)
+    final_k = np.zeros(B, dtype=np.int32)
+    m_arr = np.zeros(B, dtype=np.int32)
+    n_arr = np.zeros(B, dtype=np.int32)
+
+    ks = np.arange(Wp, dtype=np.int64)[None, :]  # [1, Wp]
+
+    for b in range(B0):
+        m, n = int(ms[b]), int(ns[b])
+        D = m + n
+        if paths is not None and paths[b] is not None:
+            pd, pi = paths[b]
+            lo = band_offsets(m, n, width, pd, pi)
+        else:
+            lo = band_offsets(m, n, width)
+
+        dcol = np.arange(D + 1, dtype=np.int64)[:, None]  # [D+1, 1]
+        i_idx = lo[:, None] + ks  # [D+1, Wp]
+        j_idx = dcol - i_idx
+        ok = (
+            (ks < width)
+            & (i_idx >= 0)
+            & (i_idx <= m)
+            & (i_idx <= dcol)
+            & (j_idx >= 0)
+            & (j_idx <= n)
+        )
+        # Emission symbol indices (clipped; invalid cells are masked anyway).
+        y_sym = np.clip(i_idx - 1, 0, max(0, m - 1))
+        x_sym = np.clip(j_idx - 1, 0, max(0, n - 1))
+        yb[: D + 1, :, b] = reads[b][y_sym] if m > 0 else 4
+        xb[: D + 1, :, b] = refs[b][x_sym] if n > 0 else 4
+        valid[: D + 1, :, b] = ok
+        lo_all[: D + 1, b] = lo
+        lo_all[D + 1 :, b] = lo[-1]
+        s1[1 : D + 1, b] = np.diff(lo)
+        s2[2 : D + 1, b] = lo[2:] - lo[:-2]
+        final_d[b] = D
+        final_k[b] = m - lo[-1]
+        m_arr[b] = m
+        n_arr[b] = n
+
+    return BandedBatch(
+        xb=xb, yb=yb, valid=valid, s1=s1, s2=s2, lo=lo_all,
+        final_d=final_d, final_k=final_k, m=m_arr, n=n_arr, width=width,
+    )
+
+
+def encode_reads(seqs: Sequence[str]) -> List[np.ndarray]:
+    return [encode(s) for s in seqs]
+
+
+def unpack_band(
+    values: np.ndarray, batch: BandedBatch, b: int, fill: float = 0.0
+) -> np.ndarray:
+    """Scatter per-cell band values [D1, Wp] for read b into a dense
+    pair-coordinate matrix [m, n] (cell (d,k) = prefix (i,j) -> pair
+    (i-1, j-1)).  Host-side; used for decoding and tests."""
+    m, n = int(batch.m[b]), int(batch.n[b])
+    out = np.full((m, n), fill, dtype=values.dtype)
+    D = m + n
+    ks = np.arange(batch.wp)
+    for d in range(1, D + 1):
+        lo = int(batch.lo[d, b])
+        i = lo + ks
+        j = d - i
+        ok = batch.valid[d, :, b] & (i >= 1) & (j >= 1) & (i <= m) & (j <= n)
+        out[i[ok] - 1, j[ok] - 1] = values[d, ok]
+    return out

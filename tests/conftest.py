@@ -1,0 +1,36 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+The environment pre-registers a TPU PJRT plugin (axon) and pins
+JAX_PLATFORMS=axon, so the env var alone is not enough; jax.config.update
+after import is authoritative.  Sharding/collective tests exercise a
+multi-chip topology without TPU hardware; kernels run in interpret mode
+where needed.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+REFERENCE_TESTS = "/root/reference/tests"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir():
+    return REFERENCE_TESTS
