@@ -1,0 +1,186 @@
+"""Baum-Welch EM training of the pair-HMM on the data itself.
+
+TPU-native replacement for cPecan's jobTree EM driver
+(cPecanEm.expectationMaximisationTrials, called at
+src/margin/marginAlignLib.py:219-221): multiple random-start trials, each
+running iterations of (E-step: banded forward-backward expected counts over
+all read/ref pairs, summed on device and psum-merged across the data mesh
+axis; M-step: row renormalisation), keeping the maximum-likelihood trial.
+
+Reference defaults mirrored from src/margin/marginAlign.py:38-53:
+trials=3, iterations=100, randomStart=True, maxAlignmentLengthToSample=50M.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..models.hmm import GAP_X_STATES, GAP_Y_STATES, PairHmm
+from ..ops.band import pack_banded_batch
+from ..ops.fb import device_batch, forward_backward, make_tables
+from .realign import RealignJob, _bucket_jobs, DEFAULT_BAND_WIDTH
+
+
+@dataclass
+class EmOptions:
+    """EM options, mirroring the cPecanEm.Options surface the reference
+    configures (src/margin/marginAlign.py:38-53)."""
+
+    trials: int = 3
+    iterations: int = 100
+    random_start: bool = True
+    max_alignment_length_to_sample: int = 50_000_000
+    band_width: int = DEFAULT_BAND_WIDTH
+    max_batch_cells: int = 12_000_000
+    seed: int = 0
+    # Early-exit when the total log-likelihood improves by less than this.
+    tolerance: float = 1e-3
+    train_emissions: bool = True
+
+
+@dataclass
+class EmTrialResult:
+    hmm: PairHmm
+    likelihood: float
+    likelihood_history: List[float]
+
+
+def _m_step(
+    hmm: PairHmm,
+    trans_counts: np.ndarray,
+    emit_match: np.ndarray,
+    emit_gap: np.ndarray,
+    train_emissions: bool,
+) -> PairHmm:
+    """Row-renormalise expected counts into new parameters.  Rows with no
+    mass keep their previous values (cPecan keeps the old row too)."""
+    new = hmm.copy()
+    row = trans_counts.sum(axis=1, keepdims=True)
+    ok = row[:, 0] > 0
+    new.transitions[ok] = trans_counts[ok] / row[ok]
+
+    if train_emissions:
+        # Match state: drop the N row/column, renormalise over ACGT x ACGT.
+        m4 = emit_match[:4, :4]
+        if m4.sum() > 0:
+            new.emissions[0] = (m4 / m4.sum()).reshape(-1)
+        # Gap states: the per-base marginal expands to a 16-vector, uniform
+        # over the silent axis (the reference flattens gap emissions after
+        # training anyway; marginAlignLib.py:229).
+        for s in range(1, 5):
+            marg = emit_gap[s, :4]
+            if marg.sum() <= 0:
+                continue
+            marg = marg / marg.sum()
+            e = np.empty((4, 4))
+            if s in GAP_X_STATES:
+                e[:, :] = marg[:, None] / 4.0
+            else:
+                e[:, :] = marg[None, :] / 4.0
+            new.emissions[s] = e.reshape(-1)
+    return new
+
+
+def expectation_step(
+    jobs: Sequence[RealignJob],
+    buckets: List[List[int]],
+    hmm: PairHmm,
+    band_width: int = DEFAULT_BAND_WIDTH,
+    psum_fn=None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    """Expected counts + total log-likelihood over all jobs.  psum_fn, when
+    given, merges count tensors across the data-parallel mesh axis."""
+    tables = make_tables(hmm)
+    tc = np.zeros((5, 5))
+    em = np.zeros((5, 5))
+    eg = np.zeros((5, 5))
+    total_ll = 0.0
+    for bucket in buckets:
+        batch = pack_banded_batch(
+            [jobs[i].read_region for i in bucket],
+            [jobs[i].ref_region for i in bucket],
+            width=band_width,
+            paths=[jobs[i].path for i in bucket],
+        )
+        res = forward_backward(
+            tables, device_batch(batch), want_posteriors=False, want_counts=True
+        )
+        tc += np.asarray(res.trans_counts, dtype=np.float64)
+        em += np.asarray(res.emit_match, dtype=np.float64)
+        eg += np.asarray(res.emit_gap, dtype=np.float64)
+        total_ll += float(np.sum(np.asarray(res.logZ)[: len(bucket)]))
+    if psum_fn is not None:
+        tc, em, eg, total_ll = psum_fn(tc, em, eg, total_ll)
+    return tc, em, eg, total_ll
+
+
+def sample_jobs(
+    jobs: List[RealignJob], max_bases: int, seed: int = 0
+) -> List[RealignJob]:
+    """Cap the total aligned read bases used for training
+    (maxAlignmentLengthToSample, src/margin/marginAlign.py:47)."""
+    if sum(len(j.read_region) for j in jobs) <= max_bases:
+        return jobs
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(jobs))
+    out, total = [], 0
+    for idx in order:
+        n = len(jobs[idx].read_region)
+        if total + n > max_bases and out:
+            break
+        out.append(jobs[idx])
+        total += n
+    return out
+
+
+def train_em(
+    jobs: List[RealignJob],
+    options: EmOptions,
+    input_hmm: Optional[PairHmm] = None,
+    psum_fn=None,
+    log_fn=None,
+) -> EmTrialResult:
+    """Run the full multi-trial EM and return the best trial."""
+    jobs = sample_jobs(jobs, options.max_alignment_length_to_sample,
+                       options.seed)
+    buckets = _bucket_jobs(jobs, options.band_width, options.max_batch_cells)
+
+    best: Optional[EmTrialResult] = None
+    for trial in range(options.trials):
+        if options.random_start or input_hmm is None:
+            hmm = PairHmm.random(seed=options.seed * 1000 + trial)
+        else:
+            hmm = input_hmm.copy()
+        history: List[float] = []
+        ll = -np.inf
+        for it in range(options.iterations):
+            tc, em, eg, new_ll = expectation_step(
+                jobs, buckets, hmm, options.band_width, psum_fn
+            )
+            hmm = _m_step(hmm, tc, em, eg, options.train_emissions)
+            history.append(new_ll)
+            if log_fn:
+                log_fn("EM trial %d iter %d log-likelihood %.4f"
+                       % (trial, it, new_ll))
+            if np.isfinite(ll) and abs(new_ll - ll) < options.tolerance:
+                ll = new_ll
+                break
+            ll = new_ll
+        hmm.likelihood = ll
+        result = EmTrialResult(hmm=hmm, likelihood=ll,
+                               likelihood_history=history)
+        if best is None or result.likelihood > best.likelihood:
+            best = result
+    assert best is not None
+    return best
+
+
+def normalise_trained_hmm(hmm: PairHmm) -> PairHmm:
+    """Post-EM normalisation: flat indel emissions + GC 0.5 renormalisation
+    (reference: learnModelFromSamFileTargetFn2, marginAlignLib.py:227-232)."""
+    out = hmm.copy()
+    out.set_flat_indel_emissions()
+    out.normalise_by_gc_content(0.5)
+    return out

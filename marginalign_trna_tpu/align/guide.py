@@ -1,0 +1,308 @@
+"""TPU-native guide alignment: k-mer seeding + chaining + banded Viterbi.
+
+Replaces the reference's external seed mappers (LAST default, BWA and
+minimap2 optional; src/margin/mappers/{last,bwa,minimap2}.py) with an
+in-process pipeline:
+
+  1. host: exact k-mer index of the references (tiny for tRNA-scale refs);
+  2. host: seed hits per read and strand, colinear chaining (the same role
+     as LAST's seed-and-extend / minimap2's chaining);
+  3. device: banded affine Viterbi (ops/nw.py) of each read against its
+     chain corridor, batched over all reads;
+  4. host: traceback -> SAM records (primary alignment per read, like
+     minimap2 -N 0; reference src/margin/mappers/minimap2.py:6).
+
+Mapper "presets" mirror the reference's CLI surface: --bwa and --minimap2
+select different seed lengths rather than different binaries.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.fasta import get_fasta_dictionary
+from ..io.fastq import fastq_read
+from ..io.sam import SamFile, SamRecord, make_header
+from ..ops import band as band_mod
+from ..ops.band import pack_banded_batch
+from ..ops.fb import device_batch
+from ..ops.nw import NwParams, banded_nw, traceback
+from ..utils.seq import encode, revcomp_codes, reverse_complement
+
+
+@dataclass
+class GuideConfig:
+    k: int = 13
+    max_hits_per_kmer: int = 64
+    max_chain_gap: int = 500
+    max_diag_drift: int = 120
+    band_width: int = 64
+    edge_pad: int = 32
+    max_seeds_for_chaining: int = 1500
+    nw: NwParams = field(default_factory=NwParams)
+
+    @staticmethod
+    def preset(name: str) -> "GuideConfig":
+        """'last' is the default preset; 'bwa' and 'minimap2' mirror the
+        reference's alternative mappers (-k 8 for bwa ont2d, minimap2's
+        longer minimizers) with different seed lengths."""
+        if name == "bwa":
+            return GuideConfig(k=11)
+        if name == "minimap2":
+            return GuideConfig(k=15)
+        return GuideConfig()
+
+
+def _kmer_values(codes: np.ndarray, k: int) -> np.ndarray:
+    """Packed k-mer integer per position (-1 where the window contains N)."""
+    L = len(codes)
+    if L < k:
+        return np.empty(0, dtype=np.int64)
+    vals = np.zeros(L - k + 1, dtype=np.int64)
+    bad = np.zeros(L - k + 1, dtype=bool)
+    for t in range(k):
+        window = codes[t : L - k + 1 + t].astype(np.int64)
+        vals = vals * 4 + np.clip(window, 0, 3)
+        bad |= window >= 4
+    vals[bad] = -1
+    return vals
+
+
+class KmerIndex:
+    """Exact k-mer index over the (forward-strand) reference sequences."""
+
+    def __init__(self, refs: Dict[str, str], k: int):
+        self.k = k
+        self.ref_names = list(refs.keys())
+        self.ref_codes = [encode(refs[n]) for n in self.ref_names]
+        self.lookup: Dict[int, List[Tuple[int, int]]] = {}
+        for ri, codes in enumerate(self.ref_codes):
+            for pos, v in enumerate(_kmer_values(codes, k)):
+                if v >= 0:
+                    self.lookup.setdefault(int(v), []).append((ri, pos))
+
+    def hits(self, read_codes: np.ndarray, max_per_kmer: int):
+        """-> per-ref dict {ref_idx: [(qpos, rpos), ...]}"""
+        out: Dict[int, List[Tuple[int, int]]] = {}
+        for qpos, v in enumerate(_kmer_values(read_codes, self.k)):
+            if v < 0:
+                continue
+            entry = self.lookup.get(int(v))
+            if entry is None or len(entry) > max_per_kmer:
+                continue
+            for ri, rpos in entry:
+                out.setdefault(ri, []).append((qpos, rpos))
+        return out
+
+
+def chain_seeds(
+    hits: List[Tuple[int, int]], cfg: GuideConfig
+) -> Tuple[List[Tuple[int, int]], int]:
+    """Best colinear chain of seed hits (strictly increasing in read and
+    ref, bounded gap and diagonal drift).  O(h^2) DP like the reference's
+    segment chaining (marginAlignLib.py:129-145), but over k-mer seeds."""
+    if not hits:
+        return [], 0
+    hits = sorted(set(hits), key=lambda h: (h[1], h[0]))
+    if len(hits) > cfg.max_seeds_for_chaining:
+        stride = len(hits) / cfg.max_seeds_for_chaining
+        hits = [hits[int(i * stride)] for i in range(cfg.max_seeds_for_chaining)]
+    h = len(hits)
+    q = np.array([x[0] for x in hits])
+    r = np.array([x[1] for x in hits])
+    score = np.ones(h, dtype=np.int64)
+    parent = np.full(h, -1, dtype=np.int64)
+    for i in range(h):
+        dq = q[i] - q[:i]
+        dr = r[i] - r[:i]
+        ok = (
+            (dq > 0)
+            & (dr > 0)
+            & (dq + dr <= 2 * cfg.max_chain_gap)
+            & (np.abs(dq - dr) <= cfg.max_diag_drift)
+        )
+        if ok.any():
+            cand = np.where(ok, score[:i], 0)
+            j = int(np.argmax(cand))
+            if cand[j] + 1 > score[i]:
+                score[i] = cand[j] + 1
+                parent[i] = j
+    best = int(np.argmax(score))
+    chain = []
+    while best >= 0:
+        chain.append((int(q[best]), int(r[best])))
+        best = int(parent[best])
+    chain.reverse()
+    return chain, int(score.max())
+
+
+@dataclass
+class _Candidate:
+    read_name: str
+    seq: str              # SEQ as it will appear in SAM (revcomp'd if reverse)
+    ref_idx: int
+    is_reverse: bool
+    window_start: int
+    window_end: int
+    chain: List[Tuple[int, int]]  # (qpos, rpos) in seq/ref-forward coords
+    score: int
+
+
+def _corridor(
+    chain: List[Tuple[int, int]], m: int, ref_len: int, cfg: GuideConfig
+) -> Tuple[int, int]:
+    q0, r0 = chain[0]
+    q1, r1 = chain[-1]
+    pad0 = cfg.edge_pad + q0 // 4
+    pad1 = cfg.edge_pad + (m - q1 - cfg.k) // 4
+    ws = max(0, r0 - q0 - pad0)
+    we = min(ref_len, r1 + cfg.k + (m - q1 - cfg.k) + pad1)
+    return ws, we
+
+
+def map_reads(
+    read_fastq_path: str,
+    reference_fasta_path: str,
+    output_sam_path: str,
+    cfg: Optional[GuideConfig] = None,
+) -> None:
+    """Map all reads, emitting a guide SAM (primary alignment per read).
+
+    This is the 'mapper.run()' stage of the reference pipeline
+    (e.g. Last.run, src/margin/mappers/last.py:6-26), including its
+    hand-built @SQ header.
+    """
+    cfg = cfg or GuideConfig()
+    refs = get_fasta_dictionary(reference_fasta_path)
+    index = KmerIndex(refs, cfg.k)
+    header = make_header([(n, len(refs[n])) for n in index.ref_names])
+
+    candidates: List[_Candidate] = []
+    for name, seq, _ in fastq_read(read_fastq_path):
+        name = name.split()[0]
+        cand = _best_candidate(name, seq, index, cfg)
+        if cand is not None:
+            candidates.append(cand)
+
+    records = align_candidates(candidates, index, cfg)
+    SamFile(header, records).write(output_sam_path)
+
+
+def _best_candidate(
+    name: str, seq: str, index: KmerIndex, cfg: GuideConfig
+) -> Optional[_Candidate]:
+    codes_f = encode(seq)
+    codes_r = revcomp_codes(codes_f)
+    best: Optional[_Candidate] = None
+    for is_reverse, codes, oriented_seq in (
+        (False, codes_f, seq),
+        (True, codes_r, reverse_complement(seq)),
+    ):
+        per_ref = index.hits(codes, cfg.max_hits_per_kmer)
+        for ri, hits in per_ref.items():
+            chain, score = chain_seeds(hits, cfg)
+            if not chain:
+                continue
+            if best is None or score > best.score:
+                ws, we = _corridor(
+                    chain, len(codes), len(index.ref_codes[ri]), cfg
+                )
+                best = _Candidate(
+                    read_name=name, seq=oriented_seq, ref_idx=ri,
+                    is_reverse=is_reverse, window_start=ws, window_end=we,
+                    chain=chain, score=score,
+                )
+    return best
+
+
+def align_candidates(
+    candidates: List[_Candidate], index: KmerIndex, cfg: GuideConfig
+) -> List[SamRecord]:
+    """Batched banded Viterbi over all candidates -> SAM records."""
+    if not candidates:
+        return []
+    reads, windows, paths = [], [], []
+    for c in candidates:
+        read_codes = encode(c.seq)
+        win = index.ref_codes[c.ref_idx][c.window_start : c.window_end]
+        reads.append(read_codes)
+        windows.append(win)
+        # Prefix-coordinate anchors: (0,0), seed starts, (m, n).
+        m, n = len(read_codes), len(win)
+        pd, pi = [0], [0]
+        for qpos, rpos in c.chain:
+            i = qpos + 1
+            j = rpos - c.window_start + 1
+            d = i + j
+            if d > pd[-1] and i >= pi[-1] and d < m + n:
+                pd.append(d)
+                pi.append(i)
+        pd.append(m + n)
+        pi.append(m)
+        paths.append((np.asarray(pd), np.asarray(pi)))
+
+    batch = pack_banded_batch(reads, windows, width=cfg.band_width, paths=paths)
+    params = jnp.asarray(
+        [cfg.nw.match, cfg.nw.mismatch, cfg.nw.gap_open, cfg.nw.gap_extend],
+        jnp.float32,
+    )
+    res = banded_nw(params, device_batch(batch))
+    pointers = np.asarray(res.pointers)
+    final_states = np.asarray(res.final_state)
+
+    records = []
+    for b, c in enumerate(candidates):
+        ops = traceback(pointers, batch, b, int(final_states[b]))
+        rec = _ops_to_record(c, ops, index)
+        if rec is not None:
+            records.append(rec)
+    return records
+
+
+def _ops_to_record(
+    c: _Candidate, ops: List[Tuple[int, int]], index: KmerIndex
+) -> Optional[SamRecord]:
+    """Convert global (read x window) ops to a SAM record: leading/trailing
+    ref-gaps shift the window, read-gaps become soft clips."""
+    pos = c.window_start
+    # Leading deletions consume reference before the alignment starts.
+    while ops and ops[0][0] == 2:
+        pos += ops[0][1]
+        ops = ops[1:]
+    while ops and ops[-1][0] == 2:
+        ops = ops[:-1]
+    lead_clip = 0
+    if ops and ops[0][0] == 1:
+        lead_clip = ops[0][1]
+        ops = ops[1:]
+    tail_clip = 0
+    if ops and ops[-1][0] == 1:
+        tail_clip = ops[-1][1]
+        ops = ops[:-1]
+    while ops and ops[0][0] == 2:
+        pos += ops[0][1]
+        ops = ops[1:]
+    while ops and ops[-1][0] == 2:
+        ops = ops[:-1]
+    if not ops:
+        return None
+    cigar: List[Tuple[int, int]] = []
+    if lead_clip:
+        cigar.append((4, lead_clip))
+    cigar.extend(ops)
+    if tail_clip:
+        cigar.append((4, tail_clip))
+    return SamRecord(
+        qname=c.read_name,
+        flag=16 if c.is_reverse else 0,
+        rname=index.ref_names[c.ref_idx],
+        pos=pos,
+        mapq=255,
+        cigar=cigar,
+        seq=c.seq,
+        qual="*",
+        tags=["AS:i:%d" % c.score],
+    )

@@ -1,0 +1,187 @@
+"""Pair-HMM realignment of a chained SAM file (batched, on device).
+
+Behavioural equivalent of the reference realignment stage
+(src/margin/marginAlignLib.py:265-370): optionally chain, then for every
+record realign the aligned read region against its reference span with the
+banded pair-HMM posterior + AMAP decode, and splice the realigned cigar back
+between the original clips.  Where the reference forked one cPecanRealign
+process per read over jobTree, this batches all reads into device-wide
+wavefront calls bucketed by size.
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..io.fasta import get_fasta_dictionary
+from ..io.sam import SamFile, SamRecord
+from ..models.hmm import PairHmm
+from ..ops.band import BandedBatch, pack_banded_batch, path_from_cigar
+from ..ops.fb import device_batch, forward_backward, make_tables
+from ..ops.mea import mea_decode
+from .chain import chain_sam_file
+
+# Band width = 2 * diagonalExpansion + 1 with the reference's expansion of 10
+# (src/margin/marginAlignLib.py:315).
+DEFAULT_BAND_WIDTH = 21
+
+
+@dataclass
+class RealignJob:
+    record: SamRecord
+    read_region: np.ndarray  # encoded aligned read bases
+    ref_region: np.ndarray   # encoded reference span
+    path: Tuple[np.ndarray, np.ndarray]
+
+
+def _jobs_from_sam(
+    sam: SamFile, ref_sequences, encode_fn
+) -> List[RealignJob]:
+    jobs = []
+    for rec in sam.mapped():
+        read_region = rec.query_alignment_sequence
+        ref_seq = ref_sequences[rec.rname]
+        ref_region = ref_seq[rec.reference_start : rec.reference_end]
+        aligned_ops = [(op, l) for op, l in rec.cigar if op in (0, 1, 2)]
+        if not aligned_ops or not read_region or not ref_region:
+            continue
+        pd, pi = path_from_cigar(aligned_ops)
+        jobs.append(
+            RealignJob(
+                record=rec,
+                read_region=encode_fn(read_region),
+                ref_region=encode_fn(ref_region),
+                path=(pd, pi),
+            )
+        )
+    return jobs
+
+
+def _bucket_jobs(
+    jobs: Sequence[RealignJob], width: int, max_batch_cells: int
+) -> List[List[int]]:
+    """Group job indices into batches bounded by padded DP volume, after
+    sorting by size so padding waste stays low (the reference's analog is
+    the maxAlignmentLengthPerJob chunker, src/margin/utils.py:157-176)."""
+    order = sorted(
+        range(len(jobs)),
+        key=lambda idx: len(jobs[idx].read_region) + len(jobs[idx].ref_region),
+    )
+    buckets: List[List[int]] = []
+    cur: List[int] = []
+    cur_max_d = 0
+    for idx in order:
+        d = len(jobs[idx].read_region) + len(jobs[idx].ref_region) + 1
+        new_max = max(cur_max_d, d)
+        if cur and new_max * (len(cur) + 1) * width > max_batch_cells:
+            buckets.append(cur)
+            cur, cur_max_d = [], 0
+            new_max = d
+        cur.append(idx)
+        cur_max_d = new_max
+    if cur:
+        buckets.append(cur)
+    return buckets
+
+
+def realigned_ops_for_jobs(
+    jobs: Sequence[RealignJob],
+    hmm: PairHmm,
+    gap_gamma: float,
+    match_gamma: float,
+    band_width: int = DEFAULT_BAND_WIDTH,
+    max_batch_cells: int = 12_000_000,
+) -> List[List[Tuple[int, int]]]:
+    """Run FB + MEA for every job; returns realigned aligned-region ops."""
+    tables = make_tables(hmm)
+    results: List[Optional[List[Tuple[int, int]]]] = [None] * len(jobs)
+    for bucket in _bucket_jobs(jobs, band_width, max_batch_cells):
+        reads = [jobs[i].read_region for i in bucket]
+        refs = [jobs[i].ref_region for i in bucket]
+        paths = [jobs[i].path for i in bucket]
+        batch = pack_banded_batch(reads, refs, width=band_width, paths=paths)
+        res = forward_backward(
+            tables, device_batch(batch), want_posteriors=True, want_counts=False
+        )
+        post = np.asarray(res.posteriors)
+        ops_list = mea_decode(post, batch, gap_gamma, match_gamma)
+        for local_b, job_idx in enumerate(bucket):
+            results[job_idx] = ops_list[local_b]
+    return results  # type: ignore[return-value]
+
+
+def splice_realigned_cigar(
+    rec: SamRecord, new_ops: List[Tuple[int, int]]
+) -> SamRecord:
+    """Replace a record's aligned ops with realigned ones, re-adding
+    soft/hard clips, with the reference's consistency assertions
+    (realignSamFile3TargetFn, src/margin/marginAlignLib.py:320-367)."""
+    out = rec.copy()
+    ops: List[Tuple[int, int]] = []
+    if rec.cigar and rec.cigar[0][0] == 5:
+        ops.append(rec.cigar[0])
+    if rec.query_alignment_start > 0:
+        ops.append((4, rec.query_alignment_start))
+    ops.extend(new_ops)
+    if rec.query_alignment_end < len(rec.query_sequence):
+        ops.append((4, len(rec.query_sequence) - rec.query_alignment_end))
+    if len(rec.cigar) > 1 and rec.cigar[-1][0] == 5:
+        ops.append(rec.cigar[-1])
+
+    # Read-length consistency.
+    assert sum(l for op, l in ops if op in (0, 1, 4)) == sum(
+        l for op, l in rec.cigar if op in (0, 1, 4)
+    )
+    # Reference-span consistency.
+    assert (
+        sum(l for op, l in ops if op in (0, 2))
+        == rec.reference_end - rec.reference_start
+    )
+    out.cigar = ops
+    return out
+
+
+def realign_sam_file(
+    sam_path: str,
+    output_sam_path: str,
+    read_fastq_path: str,
+    reference_fasta_path: str,
+    hmm: PairHmm,
+    gap_gamma: float = 0.5,
+    match_gamma: float = 0.0,
+    no_chain: bool = False,
+    band_width: int = DEFAULT_BAND_WIDTH,
+) -> None:
+    """Chain (optional) + realign a SAM file end to end."""
+    from ..utils.seq import encode
+
+    work_sam = sam_path
+    tmp = None
+    if not no_chain:
+        tmp = tempfile.NamedTemporaryFile(
+            mode="w", suffix=".sam", delete=False
+        )
+        tmp.close()
+        chain_sam_file(
+            sam_path, tmp.name, read_fastq_path, reference_fasta_path
+        )
+        work_sam = tmp.name
+
+    try:
+        sam = SamFile.read(work_sam)
+        ref_sequences = get_fasta_dictionary(reference_fasta_path)
+        jobs = _jobs_from_sam(sam, ref_sequences, encode)
+        all_ops = realigned_ops_for_jobs(jobs, hmm, gap_gamma, match_gamma,
+                                         band_width)
+        realigned = [
+            splice_realigned_cigar(job.record, ops)
+            for job, ops in zip(jobs, all_ops)
+        ]
+        SamFile(sam.header, realigned).write(output_sam_path)
+    finally:
+        if tmp is not None:
+            os.unlink(tmp.name)

@@ -1,0 +1,172 @@
+"""marginCaller: posterior-expectation SNV calling.
+
+Behavioural equivalent of src/margin/marginCallerLib.py: accumulate, for
+every reference position, the expected count of each read base (weighted by
+pair-HMM posterior match probability, or 1.0 in --noMargin mode), then
+Bayes-invert through the HMM's error substitution matrix and emit VCF for
+non-reference bases above the posterior threshold.
+
+TPU shape: expectations live in dense [ref_len, 4] float arrays per
+reference sequence (the psum-able representation replacing the reference's
+pickled per-chunk dicts, marginCallerLib.py:171-187); the per-read posterior
+computation reuses the banded FB engine batched over all reads.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..io.fasta import get_fasta_dictionary
+from ..io.sam import SamFile
+from ..io.vcf import vcf_read, vcf_write
+from ..models.hmm import PairHmm
+from ..ops.band import pack_banded_batch
+from ..ops.fb import device_batch, forward_backward, make_tables
+from ..utils.seq import BASES, encode
+from ..align.realign import RealignJob, _bucket_jobs, _jobs_from_sam
+
+DEFAULT_THRESHOLD = 0.3  # src/margin/marginCaller.py:28-30
+CALLER_BAND_WIDTH = 21   # diagonalExpansion=10 (marginCallerLib.py:54)
+
+
+@dataclass
+class CallerOptions:
+    threshold: float = DEFAULT_THRESHOLD
+    no_margin: bool = False
+    band_width: int = CALLER_BAND_WIDTH
+    max_batch_cells: int = 12_000_000
+
+
+def accumulate_expectations(
+    sam: SamFile,
+    ref_sequences: Dict[str, str],
+    alignment_hmm: Optional[PairHmm],
+    options: CallerOptions,
+) -> Dict[str, np.ndarray]:
+    """-> {ref_name: [ref_len, 4] expected base counts}."""
+    expectations = {
+        name: np.zeros((len(seq), 4)) for name, seq in ref_sequences.items()
+    }
+    if options.no_margin:
+        # Weight 1.0 per aligned pair of the input alignment
+        # (marginCallerLib.py:69 with --rescoreOriginalAlignment).
+        for rec in sam.mapped():
+            exp = expectations[rec.rname]
+            seq = rec.query_sequence
+            for qpos, rpos in rec.aligned_pairs:
+                if qpos is None or rpos is None:
+                    continue
+                code = int(encode(seq[qpos])[0])
+                if code < 4 and rpos < exp.shape[0]:
+                    exp[rpos, code] += 1.0
+        return expectations
+
+    jobs = _jobs_from_sam(sam, ref_sequences, encode)
+    tables = make_tables(alignment_hmm)
+    for bucket in _bucket_jobs(jobs, options.band_width,
+                               options.max_batch_cells):
+        batch = pack_banded_batch(
+            [jobs[i].read_region for i in bucket],
+            [jobs[i].ref_region for i in bucket],
+            width=options.band_width,
+            paths=[jobs[i].path for i in bucket],
+        )
+        res = forward_backward(
+            tables, device_batch(batch), want_posteriors=True,
+            want_counts=False,
+        )
+        post = np.asarray(res.posteriors)  # [D1, Wp, Bpad]
+        ks = np.arange(batch.wp)
+        for local_b, job_idx in enumerate(bucket):
+            job = jobs[job_idx]
+            rec = job.record
+            exp = expectations[rec.rname]
+            m, n = int(batch.m[local_b]), int(batch.n[local_b])
+            D = m + n
+            lo = batch.lo[: D + 1, local_b]
+            i_idx = lo[:, None] + ks[None, :]
+            j_idx = np.arange(D + 1)[:, None] - i_idx
+            ok = (
+                batch.valid[: D + 1, :, local_b]
+                & (i_idx >= 1) & (j_idx >= 1)
+            )
+            p = post[: D + 1, :, local_b][ok]
+            ii = i_idx[ok] - 1
+            jj = j_idx[ok] - 1
+            codes = job.read_region[ii]
+            keep = codes < 4  # N and other wildcards ignored
+            ref_pos = rec.reference_start + jj[keep]
+            np.add.at(exp, (ref_pos, codes[keep].astype(np.int64)), p[keep])
+    return expectations
+
+
+def calc_base_posterior_probs(
+    base_observations: np.ndarray,  # [4] normalised expected counts
+    ref_base: str,
+    error_sub_matrix: np.ndarray,   # [4, 4] P(obs | true)
+    evo_sub_matrix: Optional[np.ndarray] = None,  # [4, 4] prior (default null)
+) -> np.ndarray:
+    """Log-space Bayes with log-sum-exp normalisation
+    (reference: calcBasePosteriorProbs, marginCallerLib.py:81-91)."""
+    if evo_sub_matrix is None:
+        evo_sub_matrix = np.ones((4, 4))
+    rb = BASES.find(ref_base.upper())
+    prior = evo_sub_matrix[rb] if rb >= 0 else np.ones(4)
+    logp = np.log(prior) + (
+        np.log(np.maximum(error_sub_matrix, 1e-300)) @ base_observations
+    )
+    logp -= logp.max()
+    p = np.exp(logp)
+    return p / p.sum()
+
+
+def call_variants(
+    expectations: Dict[str, np.ndarray],
+    ref_sequences: Dict[str, str],
+    error_hmm: PairHmm,
+    threshold: float,
+) -> List[Tuple[str, int, str, float]]:
+    """-> [(ref_name, 0-based pos, alt base, posterior prob)]"""
+    error_matrix = error_hmm.substitution_matrix()
+    calls: List[Tuple[str, int, str, float]] = []
+    for ref_name, exp in expectations.items():
+        seq = ref_sequences[ref_name]
+        covered = np.where(exp.sum(axis=1) > 0)[0]
+        for pos in covered:
+            total = exp[pos].sum()
+            probs = calc_base_posterior_probs(
+                exp[pos] / total, seq[pos], error_matrix
+            )
+            for bi, base in enumerate(BASES):
+                if base != seq[pos] and probs[bi] >= threshold:
+                    calls.append((ref_name, int(pos), base, float(probs[bi])))
+    return calls
+
+
+def margin_caller(
+    sam_path: str,
+    reference_fasta_path: str,
+    output_vcf_path: str,
+    alignment_model: PairHmm,
+    error_model: PairHmm,
+    options: Optional[CallerOptions] = None,
+) -> List[Tuple[str, int, str, float]]:
+    """Full marginCaller pipeline (reference: marginCallerTargetFn +
+    variantCallSamFileTargetFn, marginCallerLib.py:15-222)."""
+    options = options or CallerOptions()
+    sam = SamFile.read(sam_path)
+    ref_sequences = get_fasta_dictionary(reference_fasta_path)
+    expectations = accumulate_expectations(
+        sam, ref_sequences, alignment_model, options
+    )
+    calls = call_variants(
+        expectations, ref_sequences, error_model, options.threshold
+    )
+    vcf_write(reference_fasta_path, ref_sequences, calls, output_vcf_path)
+    # Round-trip self-check, like the reference (marginCallerLib.py:219-222).
+    vcf_calls = vcf_read(output_vcf_path)
+    expected = {(c[0], c[1] + 1, c[2]) for c in calls}
+    assert vcf_calls == expected
+    return calls

@@ -150,7 +150,11 @@ def forward(
         new_g = jnp.where(sel_y == 1, gy, gx)
         f_new = jnp.concatenate([new_m[None], new_g[1:]], axis=0) * vm[None]
 
-        c = jnp.maximum(jnp.max(f_new, axis=(0, 1)), _TINY)  # [B]
+        # Scale by the step max; steps with no mass (before the first cell
+        # or after a lane's terminal diagonal) use 1 so they leave the
+        # cumulative log-scale untouched.
+        fmax = jnp.max(f_new, axis=(0, 1))  # [B]
+        c = jnp.where(fmax > 0, fmax, 1.0)
         f_new = f_new / c
         ls = ls + jnp.log(c)
         out = f_new if save_all_states else f_new[:1]
@@ -238,7 +242,8 @@ def forward_backward(
         inj = ((kr == batch.final_k[None, :]) & (d_val == batch.final_d)[None, :])
         b_new = (b_new + inj.astype(dtype)[None]) * valid_d.astype(dtype)[None]
 
-        c = jnp.maximum(jnp.max(b_new, axis=(0, 1)), _TINY)
+        bmax = jnp.max(b_new, axis=(0, 1))
+        c = jnp.where(bmax > 0, bmax, 1.0)
         b_new = b_new / c
         bls0 = bls1 + jnp.log(c)
 

@@ -1,0 +1,179 @@
+"""Maximum-expected-accuracy (AMAP) realignment decode.
+
+TPU-native equivalent of cPecanRealign's posterior-decoding realignment
+(reference: the realigned cigar emitted per read at
+src/margin/marginAlignLib.py:315-318, AMAP objective weighted by
+--gapGamma/--matchGamma, src/margin/marginAlign.py:30-33).
+
+Objective over a monotone alignment path:
+    sum_{matched (i,j)} p(i,j) + gapGamma * sum_{skipped read i} (1 - r_i)
+                              + gapGamma * sum_{skipped ref j} (1 - c_j)
+where p = posterior match probability (from ops/fb.py), r_i / c_j its row and
+column sums.  Pairs with p < matchGamma are disallowed.  The DP runs banded
+on device (same wavefront machinery as ops/fb.py) emitting 2-bit move
+pointers; the cigar is recovered by host traceback.
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .band import BandedBatch
+from .fb import _shift
+
+NEG = -1e30
+
+
+class MeaResult(NamedTuple):
+    pointers: jnp.ndarray  # [D1, Wp, B] uint8 (0=diag, 1=left/ref, 2=up/read)
+    score: jnp.ndarray     # [B]
+
+
+def mea_weights(
+    post: np.ndarray, batch: BandedBatch, gap_gamma: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side per-cell gap weights [D1, Wp, B] for read-skip and ref-skip
+    moves, from banded posteriors.  wup[d,k,b] applies to the move that skips
+    read symbol i-1; wleft to the move skipping ref symbol j-1."""
+    D1, Wp, B = post.shape
+    ks = np.arange(Wp)
+    wup = np.zeros_like(post)
+    wleft = np.zeros_like(post)
+    for b in range(B):
+        m, n = int(batch.m[b]), int(batch.n[b])
+        if m == 0 and n == 0:
+            continue
+        r = np.zeros(max(m, 1))
+        c = np.zeros(max(n, 1))
+        D = m + n
+        lo = batch.lo[: D + 1, b]
+        i_idx = lo[:, None] + ks[None, :]
+        j_idx = np.arange(D + 1)[:, None] - i_idx
+        ok = batch.valid[: D + 1, :, b] & (i_idx >= 1) & (j_idx >= 1)
+        pi = post[: D + 1, :, b]
+        np.add.at(r, np.clip(i_idx - 1, 0, m - 1)[ok], pi[ok])
+        np.add.at(c, np.clip(j_idx - 1, 0, n - 1)[ok], pi[ok])
+        g_read = gap_gamma * np.clip(1.0 - r, 0.0, 1.0)
+        g_ref = gap_gamma * np.clip(1.0 - c, 0.0, 1.0)
+        oku = batch.valid[: D + 1, :, b] & (i_idx >= 1)
+        okl = batch.valid[: D + 1, :, b] & (j_idx >= 1)
+        wup[: D + 1, :, b][oku] = g_read[np.clip(i_idx - 1, 0, m - 1)[oku]]
+        wleft[: D + 1, :, b][okl] = g_ref[np.clip(j_idx - 1, 0, n - 1)[okl]]
+    return wup, wleft
+
+
+@jax.jit
+def banded_mea(
+    wdiag: jnp.ndarray,   # [D1, Wp, B] posterior match weights (NEG = banned)
+    wup: jnp.ndarray,     # [D1, Wp, B]
+    wleft: jnp.ndarray,   # [D1, Wp, B]
+    valid: jnp.ndarray,   # [D1, Wp, B]
+    s1: jnp.ndarray,      # [D1, B]
+    s2: jnp.ndarray,      # [D1, B]
+    final_d: jnp.ndarray,  # [B]
+    final_k: jnp.ndarray,  # [B]
+) -> MeaResult:
+    D1, Wp, B = wdiag.shape
+    dtype = jnp.float32
+
+    a0 = jnp.full((Wp, B), NEG, dtype).at[0, :].set(0.0)
+
+    def step(carry, xs):
+        a1, a2, delta_prev = carry
+        wd, wu, wl, valid_d, s1_d, s2_d = xs
+
+        diag = _shift(a2, s2_d - 1) - delta_prev[None, :] + wd
+        up = _shift(a1, s1_d - 1) + wu
+        left = _shift(a1, s1_d) + wl
+
+        stackv = jnp.stack([diag, left, up])  # ptr order 0,1,2
+        a_new = jnp.max(stackv, axis=0)
+        ptr = jnp.argmax(stackv, axis=0).astype(jnp.uint8)
+        a_new = jnp.where(valid_d, a_new, NEG)
+
+        delta = jnp.maximum(jnp.max(a_new, axis=0), 0.0)
+        a_new = jnp.where(a_new <= NEG / 2, NEG, a_new - delta)
+        term = a_new[final_k, jnp.arange(B)] + delta  # un-normalised enough
+        return (a_new, a1, delta), (ptr, term)
+
+    xs = (wdiag[1:], wup[1:], wleft[1:], valid[1:], s1[1:], s2[1:])
+    carry0 = (a0, jnp.full_like(a0, NEG), jnp.zeros((B,), dtype))
+    (_, _, _), (ptrs, terms) = jax.lax.scan(step, carry0, xs)
+    ptrs = jnp.concatenate([jnp.zeros((1, Wp, B), jnp.uint8), ptrs], axis=0)
+    t_idx = jnp.maximum(final_d.astype(jnp.int32) - 1, 0)
+    score = terms[t_idx, jnp.arange(B)]
+    return MeaResult(pointers=ptrs, score=score)
+
+
+def mea_decode(
+    post: np.ndarray,
+    batch: BandedBatch,
+    gap_gamma: float = 0.5,
+    match_gamma: float = 0.0,
+) -> List[List[Tuple[int, int]]]:
+    """Decode realigned cigars for every read in the batch.
+
+    post: [D1, Wp, B] banded posterior match probabilities (numpy).
+    Returns per-read aligned ops [(op, len)] with 0=M, 1=I, 2=D spanning the
+    full (m, n) region.
+    """
+    D1, Wp, B = post.shape
+    wup, wleft = mea_weights(post, batch, gap_gamma)
+    wdiag = np.where(
+        (post >= match_gamma) & (post > 0), post, NEG
+    ).astype(np.float32)
+    # Diagonal moves only exist for cells with i >= 1 and j >= 1; other
+    # cells keep NEG.  (Cells outside the band are masked by `valid`.)
+    res = banded_mea(
+        jnp.asarray(wdiag), jnp.asarray(wup), jnp.asarray(wleft),
+        jnp.asarray(batch.valid), jnp.asarray(batch.s1), jnp.asarray(batch.s2),
+        jnp.asarray(batch.final_d), jnp.asarray(batch.final_k),
+    )
+    pointers = np.asarray(res.pointers)
+    out = []
+    for b in range(B):
+        out.append(_traceback_one(pointers, batch, b))
+    return out
+
+
+def _traceback_one(
+    pointers: np.ndarray, batch: BandedBatch, b: int
+) -> List[Tuple[int, int]]:
+    m, n = int(batch.m[b]), int(batch.n[b])
+    lo = batch.lo[:, b]
+    i, j = m, n
+    ops_rev: List[int] = []
+    while not (i == 0 and j == 0):
+        if i == 0:
+            ops_rev.append(2)
+            j -= 1
+            continue
+        if j == 0:
+            ops_rev.append(1)
+            i -= 1
+            continue
+        d = i + j
+        k = i - int(lo[d])
+        p = int(pointers[d, k, b])
+        if p == 0:
+            ops_rev.append(0)
+            i -= 1
+            j -= 1
+        elif p == 1:
+            ops_rev.append(2)
+            j -= 1
+        else:
+            ops_rev.append(1)
+            i -= 1
+        assert i >= 0 and j >= 0
+    ops_rev.reverse()
+    out: List[Tuple[int, int]] = []
+    for op in ops_rev:
+        if out and out[-1][0] == op:
+            out[-1] = (op, out[-1][1] + 1)
+        else:
+            out.append((op, 1))
+    return out
