@@ -56,7 +56,9 @@ def main():
         res = forward_backward(
             tables, dev, want_posteriors=True, want_counts=False
         )
-        jax.block_until_ready(res.posteriors)
+        # Force a device->host transfer: block_until_ready alone does not
+        # reliably block on remote-execution PJRT backends.
+        np.asarray(res.logZ)
         return res
 
     run()  # compile + warm up
