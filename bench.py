@@ -29,14 +29,13 @@ def main():
     import jax
 
     from marginalign_trna_tpu.models.hmm import PairHmm
-    from marginalign_trna_tpu.ops.fb import (
-        device_batch, forward_backward, make_tables,
-    )
+    from marginalign_trna_tpu.ops.dispatch import fb_posteriors
+    from marginalign_trna_tpu.ops.fb import device_batch, make_tables
     from __graft_entry__ import _example_batch
 
     platform = jax.devices()[0].platform
-    # Batch sized for one chip: 128 lanes of ~3.5kb reads.
-    n_reads = int(os.environ.get("BENCH_READS", "128"))
+    # Batch sized for one chip: 1024 lanes of ~3.5kb reads.
+    n_reads = int(os.environ.get("BENCH_READS", "1024"))
     read_len = int(os.environ.get("BENCH_READ_LEN", "3500"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
@@ -53,13 +52,11 @@ def main():
     dev = device_batch(batch)
 
     def run():
-        res = forward_backward(
-            tables, dev, want_posteriors=True, want_counts=False
-        )
+        logZ, post = fb_posteriors(tables, dev)
         # Force a device->host transfer: block_until_ready alone does not
         # reliably block on remote-execution PJRT backends.
-        np.asarray(res.logZ)
-        return res
+        np.asarray(logZ)
+        return post
 
     run()  # compile + warm up
     t0 = time.perf_counter()

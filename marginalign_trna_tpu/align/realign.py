@@ -21,6 +21,7 @@ from ..io.fasta import get_fasta_dictionary
 from ..io.sam import SamFile, SamRecord
 from ..models.hmm import PairHmm
 from ..ops.band import BandedBatch, pack_banded_batch, path_from_cigar
+from ..ops.dispatch import fb_posteriors
 from ..ops.fb import device_batch, forward_backward, make_tables
 from ..ops.mea import mea_decode
 from .chain import chain_sam_file
@@ -104,10 +105,8 @@ def realigned_ops_for_jobs(
         refs = [jobs[i].ref_region for i in bucket]
         paths = [jobs[i].path for i in bucket]
         batch = pack_banded_batch(reads, refs, width=band_width, paths=paths)
-        res = forward_backward(
-            tables, device_batch(batch), want_posteriors=True, want_counts=False
-        )
-        post = np.asarray(res.posteriors)
+        _, post_dev = fb_posteriors(tables, device_batch(batch))
+        post = np.asarray(post_dev)
         ops_list = mea_decode(post, batch, gap_gamma, match_gamma)
         for local_b, job_idx in enumerate(bucket):
             results[job_idx] = ops_list[local_b]

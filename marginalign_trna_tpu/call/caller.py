@@ -23,6 +23,7 @@ from ..io.sam import SamFile
 from ..io.vcf import vcf_read, vcf_write
 from ..models.hmm import PairHmm
 from ..ops.band import pack_banded_batch
+from ..ops.dispatch import fb_posteriors
 from ..ops.fb import device_batch, forward_backward, make_tables
 from ..utils.seq import BASES, encode
 from ..align.realign import RealignJob, _bucket_jobs, _jobs_from_sam
@@ -73,11 +74,8 @@ def accumulate_expectations(
             width=options.band_width,
             paths=[jobs[i].path for i in bucket],
         )
-        res = forward_backward(
-            tables, device_batch(batch), want_posteriors=True,
-            want_counts=False,
-        )
-        post = np.asarray(res.posteriors)  # [D1, Wp, Bpad]
+        _, post_dev = fb_posteriors(tables, device_batch(batch))
+        post = np.asarray(post_dev)  # [D1, Wp, Bpad]
         ks = np.arange(batch.wp)
         for local_b, job_idx in enumerate(bucket):
             job = jobs[job_idx]

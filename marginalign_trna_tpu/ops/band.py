@@ -26,7 +26,13 @@ import numpy as np
 
 from ..utils.seq import encode
 
-GUARD = 2  # guard rows appended to the band so rolls wrap into masked cells
+GUARD = 2  # minimum guard rows so rolls wrap into masked cells
+
+
+def padded_band_width(width: int) -> int:
+    """Band + guard rows, rounded up to a sublane multiple (8) for TPU
+    tiling; the extra rows are permanently invalid."""
+    return -(-(width + GUARD) // 8) * 8
 
 
 def path_from_cigar(
@@ -157,7 +163,7 @@ def pack_banded_batch(
         D1 = pad_steps_to
     B = pad_batch_to if pad_batch_to is not None else B0
     assert B >= B0
-    Wp = width + GUARD
+    Wp = padded_band_width(width)
 
     xb = np.zeros((D1, Wp, B), dtype=np.int8)
     yb = np.zeros((D1, Wp, B), dtype=np.int8)

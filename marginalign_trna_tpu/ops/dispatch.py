@@ -1,0 +1,39 @@
+"""Kernel dispatch: choose the Pallas wavefront kernels or the XLA scan.
+
+Default policy: Pallas on real accelerators (it is both ~4x faster and more
+accurate there — the XLA scan's einsums round through the MXU), XLA scan on
+CPU (Pallas interpret mode is slow).  Override with MARGINALIGN_KERNEL=
+pallas|xla.
+"""
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .fb import DeviceBatch, FbTables, forward_backward
+
+
+def use_pallas() -> bool:
+    env = os.environ.get("MARGINALIGN_KERNEL", "").lower()
+    if env == "pallas":
+        return True
+    if env == "xla":
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def fb_posteriors(
+    tables: FbTables, batch: DeviceBatch
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(logZ [B], posterior match band [D1, Wp, B]) via the active kernel."""
+    if use_pallas():
+        from .fb_pallas import posteriors_pallas
+
+        return posteriors_pallas(tables, batch)
+    res = forward_backward(
+        tables, batch, want_posteriors=True, want_counts=False
+    )
+    return res.logZ, res.posteriors

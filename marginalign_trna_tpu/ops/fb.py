@@ -101,10 +101,10 @@ def _emissions(tables: FbTables, xb_d, yb_d):
     ex = _onehot(xb_d, tables.Ematch.dtype)  # [5, Wp, B] over ref codes
     ey = _onehot(yb_d, tables.Ematch.dtype)  # [5, Wp, B] over read codes
     # e_match[k,b] = sum_{a,c} ex[a] * Ematch[a,c] * ey[c]
-    e_match = jnp.einsum("awb,ac,cwb->wb", ex, tables.Ematch, ey)
+    e_match = jnp.einsum("awb,ac,cwb->wb", ex, tables.Ematch, ey, precision="highest")
     # Gap states: X states (1,3) emit the ref base, Y states (2,4) the read.
-    e_gx = jnp.einsum("sa,awb->swb", tables.Egap, ex)  # [5, Wp, B]
-    e_gy = jnp.einsum("sa,awb->swb", tables.Egap, ey)
+    e_gx = jnp.einsum("sa,awb->swb", tables.Egap, ex, precision="highest")  # [5, Wp, B]
+    e_gy = jnp.einsum("sa,awb->swb", tables.Egap, ey, precision="highest")
     is_y = jnp.array([0.0, 0.0, 1.0, 0.0, 1.0], tables.Egap.dtype)[:, None, None]
     e_gap = e_gx * (1.0 - is_y) + e_gy * is_y
     return e_match, e_gap
@@ -139,8 +139,8 @@ def forward(
         # different cumulative scales (lsf[d-1] vs lsf[d-2]); dividing the
         # d-2 term by the previous step's scale factor c_prev brings both
         # onto the lsf[d-1] scale.
-        mix_m = jnp.einsum("s,swb->wb", tables.T[:, 0], f2) / c_prev[None, :]
-        mix_g = jnp.einsum("st,swb->twb", tables.T, f1)  # rows 1..4 used
+        mix_m = jnp.einsum("s,swb->wb", tables.T[:, 0], f2, precision="highest") / c_prev[None, :]
+        mix_g = jnp.einsum("st,swb->twb", tables.T, f1, precision="highest")  # rows 1..4 used
 
         vm = valid_d.astype(dtype)
         new_m = e_match * _shift(mix_m, s2_d - 1)
@@ -238,7 +238,7 @@ def forward_backward(
         )
         q = jnp.concatenate([q_m[None], q_g[1:]], axis=0)             # [5,Wp,B]
 
-        b_new = jnp.einsum("st,twb->swb", tables.T, q)
+        b_new = jnp.einsum("st,twb->swb", tables.T, q, precision="highest")
         inj = ((kr == batch.final_k[None, :]) & (d_val == batch.final_d)[None, :])
         b_new = (b_new + inj.astype(dtype)[None]) * valid_d.astype(dtype)[None]
 
@@ -258,7 +258,7 @@ def forward_backward(
             # Transition counts: F[s][d] * T[s,s'] * (e * B)[s'][succ].
             # All rows of q are on the bls[d+1] scale after the c_prev fix.
             alpha1 = jnp.exp(lsf_d + bls1 - logZ)
-            g = jnp.einsum("swb,twb->st", f_d, q * alpha1[None, None, :])
+            g = jnp.einsum("swb,twb->st", f_d, q * alpha1[None, None, :], precision="highest")
             tc = tc + tables.T * g
             # Emission counts from state occupancies gamma: the match state
             # emits (x_{j-1}, y_{i-1}) = this diagonal's (xb, yb) codes.
@@ -267,9 +267,9 @@ def forward_backward(
             ex = _onehot(xb_d, dtype)
             ey = _onehot(yb_d, dtype)
             g_emit = gamma * jnp.where(d_val == 0, 0.0, 1.0).astype(dtype)
-            em = em + jnp.einsum("wb,awb,cwb->ac", g_emit[0], ex, ey)
-            gx_occ = jnp.einsum("swb,awb->sa", g_emit, ex)
-            gy_occ = jnp.einsum("swb,awb->sa", g_emit, ey)
+            em = em + jnp.einsum("wb,awb,cwb->ac", g_emit[0], ex, ey, precision="highest")
+            gx_occ = jnp.einsum("swb,awb->sa", g_emit, ex, precision="highest")
+            gy_occ = jnp.einsum("swb,awb->sa", g_emit, ey, precision="highest")
             is_y = jnp.array([0.0, 0, 1, 0, 1], dtype)[:, None]
             is_gap = jnp.array([0.0, 1, 1, 1, 1], dtype)[:, None]
             eg = eg + (gx_occ * (1 - is_y) + gy_occ * is_y) * is_gap

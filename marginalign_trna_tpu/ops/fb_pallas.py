@@ -1,0 +1,418 @@
+"""Pallas TPU kernels for the banded pair-HMM forward-backward.
+
+The pure-JAX engine in ops/fb.py expresses one anti-diagonal per lax.scan
+step; on TPU each step costs microseconds of dispatch overhead.  These
+kernels run the whole wavefront inside a single pallas_call:
+
+  - the grid dimension walks blocks of K anti-diagonals (TPU grids execute
+    sequentially, so VMEM scratch carries the DP frontier between blocks;
+    the K inner steps are unrolled in the kernel body);
+  - block specs stream the per-step band inputs from HBM and stream stored
+    values back out, double-buffered by the Pallas pipeline;
+  - all per-cell arithmetic is fused VPU work on [Wp, B] f32 tiles.
+
+HBM-traffic design: the posterior path stores only the match-state forward
+values (the backward recurrence itself needs no stored F; posteriors need
+F_M*B_M only), plus a per-step [1, B] terminal-cell snapshot from which logZ
+is gathered.  That is 3x[Wp, B] f32 of traffic per step (F_M write, F_M
+read, posterior write) instead of 11x for naive all-state storage.
+
+Layout: band window Wp in sublanes (multiple of 8), reads B in lanes
+(ideally a multiple of 128).  States are separate [Wp, B] buffers.  Scaled
+linear-space f32 exactly like ops/fb.py; results match the CPU engine to
+float tolerance (tests/test_pallas.py) and are *more* accurate than the
+XLA-scan engine on TPU (whose einsums round through the MXU).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fb import DeviceBatch, FbTables
+
+_NSTATE = 5
+STEP_BLOCK = 8  # anti-diagonals per grid step
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _roll_shift(a, t_is_1, t_is_m1):
+    """out[k] = a[k+1] where t==1, a[k-1] where t==-1, else a[k].
+    t_* are boolean [1, B] masks; wrapped rows land in guard rows that the
+    valid mask zeroes.  (pltpu.roll requires non-negative shifts: rolling
+    up by one is a circular roll by Wp-1.)"""
+    wp = a.shape[0]
+    up = pltpu.roll(a, wp - 1, axis=0)
+    down = pltpu.roll(a, 1, axis=0)
+    return jnp.where(t_is_1, up, jnp.where(t_is_m1, down, a))
+
+
+_NEVER = 99  # sentinel compare value that never matches s1/s2
+
+
+def _emissions_kernel(Em_ref, Eg_ref, xb, yb, want_match=True, want_gap=True):
+    """e_match [Wp,B] and e_gap[s] list, from int32 code arrays."""
+    ex = [(xb == a).astype(jnp.float32) for a in range(5)]
+    ey = [(yb == c).astype(jnp.float32) for c in range(5)]
+    e_match = None
+    if want_match:
+        e_match = jnp.zeros_like(ex[0])
+        for a in range(5):
+            tmp = Em_ref[a, 0] * ey[0]
+            for c in range(1, 5):
+                tmp = tmp + Em_ref[a, c] * ey[c]
+            e_match = e_match + ex[a] * tmp
+    e_gap = None
+    if want_gap:
+        e_gap = [None] * _NSTATE
+        for s in range(1, _NSTATE):
+            basis = ex if s in (1, 3) else ey
+            eg = Eg_ref[s, 0] * basis[0]
+            for a in range(1, 5):
+                eg = eg + Eg_ref[s, a] * basis[a]
+            e_gap[s] = eg
+    return e_match, e_gap
+
+
+def _max5(vals):
+    return jnp.maximum(
+        jnp.maximum(jnp.maximum(vals[0], vals[1]),
+                    jnp.maximum(vals[2], vals[3])),
+        vals[4],
+    )
+
+
+def _fwd_kernel(
+    # inputs blocked per K diagonals
+    xb_ref, yb_ref, valid_ref, s1_ref, s2_ref, fink_ref,
+    # full-array inputs
+    T_ref, Em_ref, Eg_ref,
+    # outputs
+    fm_out_ref, lsf_ref, term_ref,
+    # scratch: DP frontier
+    f1_0, f1_1, f1_2, f1_3, f1_4,
+    f2_0, f2_1, f2_2, f2_3, f2_4,
+    ls_ref, cprev_ref,
+):
+    i = pl.program_id(0)
+    f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
+    f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
+    T = T_ref[:, :]
+
+    @pl.when(i == 0)
+    def _init():
+        # F at d=0 is pure initialisation: pi at band cell (0,0).
+        zero = jnp.zeros_like(f1_0[:, :])
+        row0 = jax.lax.broadcasted_iota(jnp.int32, zero.shape, 0) == 0
+        init = jnp.where(row0, 0.2, 0.0)
+        for s in range(_NSTATE):
+            f1_refs[s][:, :] = init
+            f2_refs[s][:, :] = zero
+        ls_ref[:, :] = jnp.zeros_like(ls_ref)
+        cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+
+    # Registers carried across the unrolled inner steps.
+    f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
+    f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
+    ls = ls_ref[:, :]
+    cprev = cprev_ref[:, :]
+
+    for kb in range(STEP_BLOCK):
+        xb = xb_ref[kb].astype(jnp.int32)
+        yb = yb_ref[kb].astype(jnp.int32)
+        valid = valid_ref[kb].astype(jnp.float32)
+        s1 = s1_ref[kb]
+        s2 = s2_ref[kb]
+
+        e_match, e_gap = _emissions_kernel(Em_ref, Eg_ref, xb, yb)
+
+        mix_m = (f2[0] * T[0, 0] + f2[1] * T[1, 0] + f2[2] * T[2, 0]
+                 + f2[3] * T[3, 0] + f2[4] * T[4, 0]) / cprev
+        mix_g = []
+        for t in range(1, _NSTATE):
+            mix_g.append(f1[0] * T[0, t] + f1[1] * T[1, t] + f1[2] * T[2, t]
+                         + f1[3] * T[3, t] + f1[4] * T[4, t])
+
+        new = [None] * _NSTATE
+        new[0] = e_match * _roll_shift(mix_m, s2 == 2, s2 == 0) * valid
+        for s in (1, 3):  # X-gap: shift t = s1 in {0, 1}
+            new[s] = e_gap[s] * _roll_shift(
+                mix_g[s - 1], s1 == 1, s1 == _NEVER) * valid
+        for s in (2, 4):  # Y-gap: shift t = s1 - 1 in {-1, 0}
+            new[s] = e_gap[s] * _roll_shift(
+                mix_g[s - 1], s1 == _NEVER, s1 == 0) * valid
+
+        fmax = _max5(new).max(axis=0, keepdims=True)  # [1, B]
+        c = jnp.where(fmax > 0, fmax, 1.0)
+        inv_c = 1.0 / c
+
+        kidx = jax.lax.broadcasted_iota(jnp.int32, new[0].shape, 0)
+        sel = (kidx == fink_ref[kb]).astype(jnp.float32)
+        term = (_sum5(new) * sel).sum(axis=0, keepdims=True) * inv_c
+        scaled = [new[s] * inv_c for s in range(_NSTATE)]
+
+        if kb == 0:
+            # d = 0 on the first grid step is pure initialisation: keep the
+            # init frontier and emit it instead of the computed step.
+            is_first = i == 0
+            f1_next = [jnp.where(is_first, f1[s], scaled[s])
+                       for s in range(_NSTATE)]
+            f2_next = [jnp.where(is_first, f2[s], f1[s])
+                       for s in range(_NSTATE)]
+            ls = jnp.where(is_first, ls, ls + jnp.log(c))
+            cprev = jnp.where(is_first, cprev, c)
+            term = jnp.where(is_first,
+                             (_sum5(f1) * sel).sum(axis=0, keepdims=True),
+                             term)
+        else:
+            f1_next = scaled
+            f2_next = f1
+            ls = ls + jnp.log(c)
+            cprev = c
+
+        fm_out_ref[kb] = f1_next[0]
+        lsf_ref[kb] = ls
+        term_ref[kb] = term
+        f1, f2 = f1_next, f2_next
+
+    for s in range(_NSTATE):
+        f1_refs[s][:, :] = f1[s]
+        f2_refs[s][:, :] = f2[s]
+    ls_ref[:, :] = ls
+    cprev_ref[:, :] = cprev
+
+
+def _sum5(vals):
+    return vals[0] + vals[1] + vals[2] + vals[3] + vals[4]
+
+
+class PallasFwdResult(NamedTuple):
+    F_match: jnp.ndarray  # [D1K, Wp, B] scaled match-state forward values
+    lsf: jnp.ndarray      # [D1K, B]
+    logZ: jnp.ndarray     # [B]
+
+
+def _pad_steps(a, d1k):
+    pad = d1k - a.shape[0]
+    if pad <= 0:
+        return a
+    return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+
+
+@jax.jit
+def forward_pallas(tables: FbTables, batch: DeviceBatch) -> PallasFwdResult:
+    D1, Wp, B = batch.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    xb = _pad_steps(batch.xb, D1K)
+    yb = _pad_steps(batch.yb, D1K)
+    valid = _pad_steps(batch.valid.astype(jnp.int8), D1K)
+    s1 = _pad_steps(batch.s1.astype(jnp.int32), D1K)[:, None, :]
+    s2 = _pad_steps(batch.s2.astype(jnp.int32), D1K)[:, None, :]
+    fink = jnp.broadcast_to(
+        batch.final_k.astype(jnp.int32)[None, None, :], (D1K, 1, B)
+    )
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    fm_out, lsf2, term2 = pl.pallas_call(
+        _fwd_kernel,
+        grid=(G,),
+        in_specs=[blk3, blk3, blk3, blk2, blk2, blk2, full, full, full],
+        out_specs=[blk3, blk2, blk2],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+            + [pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((1, B), jnp.float32)]
+        ),
+        interpret=_use_interpret(),
+    )(xb, yb, valid, s1, s2, fink, tables.T, tables.Ematch, tables.Egap)
+
+    lsf = lsf2[:, 0, :]
+    term = term2[:, 0, :]
+    d_idx = batch.final_d.astype(jnp.int32)
+    b_idx = jnp.arange(B)
+    logZ = (
+        jnp.log(jnp.maximum(term[d_idx, b_idx], 1e-30)) + lsf[d_idx, b_idx]
+    )
+    return PallasFwdResult(F_match=fm_out, lsf=lsf, logZ=logZ)
+
+
+def _bwd_kernel(
+    # inputs blocked per K diagonals (descending blocks)
+    fm_ref, lsf_ref, valid_ref,
+    xb1_ref, yb1_ref, xb2_ref, yb2_ref, s1n_ref, s2n_ref,
+    fink_ref, find_ref,
+    # full inputs
+    T_ref, Em_ref, Eg_ref, logZ_ref,
+    # outputs
+    post_ref,
+    # scratch
+    b1_0, b1_1, b1_2, b1_3, b1_4,
+    b2_0, b2_1, b2_2, b2_3, b2_4,
+    bls_ref, cprev_ref,
+):
+    i = pl.program_id(0)
+    b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
+    b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
+    T = T_ref[:, :]
+    K = STEP_BLOCK
+
+    @pl.when(i == 0)
+    def _init():
+        zero = jnp.zeros_like(b1_0[:, :])
+        for s in range(_NSTATE):
+            b1_refs[s][:, :] = zero
+            b2_refs[s][:, :] = zero
+        bls_ref[:, :] = jnp.zeros_like(bls_ref)
+        cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+
+    b1 = [b1_refs[s][:, :] for s in range(_NSTATE)]
+    b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
+    bls = bls_ref[:, :]
+    cprev = cprev_ref[:, :]
+
+    blk_base = (pl.num_programs(0) - 1 - i) * K
+    for t in range(K):
+        kb = K - 1 - t  # descending within the block
+        d = blk_base + kb
+
+        valid = valid_ref[kb].astype(jnp.float32)
+        xb1 = xb1_ref[kb].astype(jnp.int32)
+        yb1 = yb1_ref[kb].astype(jnp.int32)
+        xb2 = xb2_ref[kb].astype(jnp.int32)
+        yb2 = yb2_ref[kb].astype(jnp.int32)
+        s1n = s1n_ref[kb]
+        s2n = s2n_ref[kb]
+
+        e_match2, _ = _emissions_kernel(Em_ref, Eg_ref, xb2, yb2,
+                                        want_gap=False)
+        _, e_gap1 = _emissions_kernel(Em_ref, Eg_ref, xb1, yb1,
+                                      want_match=False)
+
+        q = [None] * _NSTATE
+        # Match target at d+2 (b2 is one scale step behind b1).
+        q[0] = _roll_shift(e_match2 * b2[0], s2n == 0, s2n == 2) / cprev
+        for s in (1, 3):  # X-gap at d+1: shift t = -s1n in {-1, 0}
+            q[s] = _roll_shift(e_gap1[s] * b1[s], s1n == _NEVER, s1n == 1)
+        for s in (2, 4):  # Y-gap at d+1: shift t = 1 - s1n in {0, 1}
+            q[s] = _roll_shift(e_gap1[s] * b1[s], s1n == 0, s1n == _NEVER)
+
+        kidx = jax.lax.broadcasted_iota(jnp.int32, q[0].shape, 0)
+        inj = jnp.where(
+            (kidx == fink_ref[kb]) & (d == find_ref[kb]), 1.0, 0.0
+        )
+
+        new = [None] * _NSTATE
+        for s in range(_NSTATE):
+            acc = q[0] * T[s, 0]
+            for u in range(1, _NSTATE):
+                acc = acc + q[u] * T[s, u]
+            new[s] = (acc + inj) * valid
+
+        bmax = _max5(new).max(axis=0, keepdims=True)
+        c = jnp.where(bmax > 0, bmax, 1.0)
+        inv_c = 1.0 / c
+        bls = bls + jnp.log(c)
+        cprev = c
+
+        alpha = jnp.exp(lsf_ref[kb] + bls - logZ_ref[:, :])
+        post_ref[kb] = fm_ref[kb] * (new[0] * inv_c) * alpha
+
+        b2 = b1
+        b1 = [new[s] * inv_c for s in range(_NSTATE)]
+
+    for s in range(_NSTATE):
+        b1_refs[s][:, :] = b1[s]
+        b2_refs[s][:, :] = b2[s]
+    bls_ref[:, :] = bls
+    cprev_ref[:, :] = cprev
+
+
+@jax.jit
+def posteriors_pallas(
+    tables: FbTables, batch: DeviceBatch
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full FB with Pallas kernels.  Returns (logZ [B], posteriors
+    [D1, Wp, B]) matching ops/fb.forward_backward's posterior output."""
+    D1, Wp, B = batch.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+    fwd = forward_pallas(tables, batch)
+
+    # Successor-diagonal views are pre-sliced from padded arrays, so every
+    # block below uses the same offset-free descending block index map.
+    pad2 = lambda a: jnp.pad(
+        _pad_steps(a, D1K), [(0, 2)] + [(0, 0)] * (a.ndim - 1)
+    )
+    xb_p, yb_p = pad2(batch.xb), pad2(batch.yb)
+    s1_p = pad2(batch.s1.astype(jnp.int32))[:, None, :]
+    s2_p = pad2(batch.s2.astype(jnp.int32))[:, None, :]
+    valid = _pad_steps(batch.valid.astype(jnp.int8), D1K)
+
+    rev3 = pl.BlockSpec((K, Wp, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rev2 = pl.BlockSpec((K, 1, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    fink = jnp.broadcast_to(
+        batch.final_k.astype(jnp.int32)[None, None, :], (D1K, 1, B)
+    )
+    find = jnp.broadcast_to(
+        batch.final_d.astype(jnp.int32)[None, None, :], (D1K, 1, B)
+    )
+
+    post = pl.pallas_call(
+        _bwd_kernel,
+        grid=(G,),
+        in_specs=[
+            rev3,              # F_match at d
+            rev2,              # lsf at d
+            rev3,              # valid at d
+            rev3, rev3,        # xb, yb at d+1 (pre-sliced)
+            rev3, rev3,        # xb, yb at d+2 (pre-sliced)
+            rev2, rev2,        # s1 at d+1, s2 at d+2 (pre-sliced)
+            rev2, rev2,        # final_k, final_d broadcasts
+            full, full, full, full,
+        ],
+        out_specs=[rev3],
+        out_shape=[jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32)],
+        scratch_shapes=(
+            [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+            + [pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((1, B), jnp.float32)]
+        ),
+        interpret=_use_interpret(),
+    )(
+        fwd.F_match,
+        fwd.lsf[:, None, :],
+        valid,
+        xb_p[1 : D1K + 1], yb_p[1 : D1K + 1],
+        xb_p[2 : D1K + 2], yb_p[2 : D1K + 2],
+        s1_p[1 : D1K + 1], s2_p[2 : D1K + 2],
+        fink, find,
+        tables.T, tables.Ematch, tables.Egap,
+        fwd.logZ[None, :],
+    )[0]
+    return fwd.logZ, post[:D1]

@@ -1,0 +1,62 @@
+"""Pallas FB kernels vs the JAX scan engine (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+from marginalign_trna_tpu.models.hmm import PairHmm
+from marginalign_trna_tpu.ops.band import pack_banded_batch, path_from_cigar
+from marginalign_trna_tpu.ops.fb import (
+    device_batch, forward, forward_backward, make_tables,
+)
+from marginalign_trna_tpu.ops.fb_pallas import forward_pallas, posteriors_pallas
+
+REF_MAPPERS = "/root/reference/src/margin/mappers"
+
+
+def _mixed_batch(rng, widths=(16,)):
+    hmm = PairHmm.load(REF_MAPPERS + "/last_hmm_20.txt")
+    reads = [rng.integers(0, 4, size=m).astype(np.int8) for m in (9, 17, 30)]
+    refs = [rng.integers(0, 4, size=n).astype(np.int8) for n in (12, 15, 28)]
+    batch = pack_banded_batch(reads, refs, width=31, pad_batch_to=4)
+    return hmm, batch
+
+
+def test_forward_pallas_matches_jax(rng):
+    hmm, batch = _mixed_batch(rng)
+    tables = make_tables(hmm)
+    dev = device_batch(batch)
+    _, _, logZ_jax = forward(tables, dev)
+    res = forward_pallas(tables, dev)
+    assert np.allclose(
+        np.asarray(res.logZ)[:3], np.asarray(logZ_jax)[:3], rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+def test_posteriors_pallas_match_jax(rng):
+    hmm, batch = _mixed_batch(rng)
+    tables = make_tables(hmm)
+    dev = device_batch(batch)
+    ref = forward_backward(tables, dev, want_posteriors=True)
+    logZ, post = posteriors_pallas(tables, dev)
+    assert np.allclose(np.asarray(logZ)[:3], np.asarray(ref.logZ)[:3],
+                       rtol=1e-4, atol=1e-4)
+    assert np.allclose(np.asarray(post), np.asarray(ref.posteriors),
+                       atol=2e-4)
+
+
+def test_pallas_with_guide_path(rng):
+    """Banded case with a moving band (nonzero shifts)."""
+    hmm = PairHmm.load(REF_MAPPERS + "/last_hmm_20.txt")
+    n = 80
+    x = rng.integers(0, 4, size=n).astype(np.int8)
+    y = np.concatenate([x[:40], x[50:]])  # 10-base deletion
+    pd, pi = path_from_cigar([(0, 40), (2, 10), (0, 30)])
+    batch = pack_banded_batch([y], [x], width=21, paths=[(pd, pi)])
+    tables = make_tables(hmm)
+    dev = device_batch(batch)
+    ref = forward_backward(tables, dev, want_posteriors=True)
+    logZ, post = posteriors_pallas(tables, dev)
+    assert np.allclose(float(logZ[0]), float(ref.logZ[0]), rtol=1e-4,
+                       atol=1e-3)
+    assert np.allclose(np.asarray(post), np.asarray(ref.posteriors),
+                       atol=2e-4)
