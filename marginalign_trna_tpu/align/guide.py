@@ -113,6 +113,16 @@ def chain_seeds(
     h = len(hits)
     q = np.array([x[0] for x in hits])
     r = np.array([x[1] for x in hits])
+
+    from .. import native as _native
+
+    idx = _native.chain_seeds(
+        q, r, 2 * cfg.max_chain_gap, cfg.max_diag_drift
+    )
+    if idx is not None:
+        chain = [hits[i] for i in idx]
+        return chain, len(chain)
+
     score = np.ones(h, dtype=np.int64)
     parent = np.full(h, -1, dtype=np.int64)
     for i in range(h):

@@ -1,0 +1,147 @@
+"""ctypes bindings for the native host-runtime library (native/).
+
+Auto-builds native/libmargin_native.so on first use when a toolchain is
+available; every entry point has a pure-Python fallback so the framework
+works without the native layer (just slower host-side tracebacks/chaining).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libmargin_native.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("MARGINALIGN_NO_NATIVE"):
+        return None
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR, "-s"],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    i64 = ctypes.c_int64
+    p = ctypes.POINTER
+    lib.nw_traceback.restype = i64
+    lib.nw_traceback.argtypes = [
+        p(ctypes.c_uint8), p(ctypes.c_int32),
+        i64, i64, i64, i64, i64, i64, ctypes.c_int32,
+        p(ctypes.c_uint8), i64,
+    ]
+    lib.mea_traceback.restype = i64
+    lib.mea_traceback.argtypes = [
+        p(ctypes.c_uint8), p(ctypes.c_int32),
+        i64, i64, i64, i64, i64, i64,
+        p(ctypes.c_uint8), i64,
+    ]
+    lib.chain_seeds.restype = i64
+    lib.chain_seeds.argtypes = [
+        p(i64), p(i64), i64, i64, i64, p(i64), i64,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _rle(ops: np.ndarray) -> List[Tuple[int, int]]:
+    """Run-length encode a reversed op array into [(op, len)] (fwd order)."""
+    out: List[Tuple[int, int]] = []
+    for op in ops[::-1]:
+        op = int(op)
+        if out and out[-1][0] == op:
+            out[-1] = (op, out[-1][1] + 1)
+        else:
+            out.append((op, 1))
+    return out
+
+
+def nw_traceback(
+    pointers: np.ndarray,  # [D1, Wp, B] uint8, C-contiguous
+    lo: np.ndarray,        # [D1] int32
+    lane: int,
+    m: int,
+    n: int,
+    final_state: int,
+) -> Optional[List[Tuple[int, int]]]:
+    lib = _load()
+    if lib is None:
+        return None
+    d1, wp, b = pointers.shape
+    out = np.empty(m + n + 2, dtype=np.uint8)
+    cnt = lib.nw_traceback(
+        pointers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.ascontiguousarray(lo, dtype=np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)),
+        d1, wp, b, lane, m, n, final_state,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(out),
+    )
+    if cnt < 0:
+        return None
+    return _rle(out[:cnt])
+
+
+def mea_traceback(
+    pointers: np.ndarray, lo: np.ndarray, lane: int, m: int, n: int
+) -> Optional[List[Tuple[int, int]]]:
+    lib = _load()
+    if lib is None:
+        return None
+    d1, wp, b = pointers.shape
+    out = np.empty(m + n + 2, dtype=np.uint8)
+    cnt = lib.mea_traceback(
+        pointers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.ascontiguousarray(lo, dtype=np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)),
+        d1, wp, b, lane, m, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(out),
+    )
+    if cnt < 0:
+        return None
+    return _rle(out[:cnt])
+
+
+def chain_seeds(
+    q: np.ndarray, r: np.ndarray, max_gap2: int, max_drift: int
+) -> Optional[np.ndarray]:
+    """Indices (chain order) of the best colinear chain, or None if the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q, dtype=np.int64)
+    r = np.ascontiguousarray(r, dtype=np.int64)
+    out = np.empty(len(q), dtype=np.int64)
+    cnt = lib.chain_seeds(
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(q), max_gap2, max_drift,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(out),
+    )
+    if cnt < 0:
+        return None
+    return out[:cnt]

@@ -142,8 +142,13 @@ def mea_decode(
 def _traceback_one(
     pointers: np.ndarray, batch: BandedBatch, b: int
 ) -> List[Tuple[int, int]]:
+    from .. import native as _native
+
     m, n = int(batch.m[b]), int(batch.n[b])
     lo = batch.lo[:, b]
+    nat = _native.mea_traceback(np.ascontiguousarray(pointers), lo, b, m, n)
+    if nat is not None:
+        return nat
     i, j = m, n
     ops_rev: List[int] = []
     while not (i == 0 and j == 0):

@@ -125,9 +125,17 @@ def traceback(
     final_state: int = S_M,
 ) -> List[Tuple[int, int]]:
     """Host traceback for read b: returns aligned ops [(op, len)] with
-    0=M, 1=I (read), 2=D (ref) in prefix coordinates from (m,n) to (0,0)."""
+    0=M, 1=I (read), 2=D (ref) in prefix coordinates from (m,n) to (0,0).
+    Uses the native decoder when built (native/margin_native.cpp)."""
+    from .. import native as _native
+
     m, n = int(batch.m[b]), int(batch.n[b])
     lo = batch.lo[:, b]
+    nat = _native.nw_traceback(
+        np.ascontiguousarray(pointers), lo, b, m, n, final_state
+    )
+    if nat is not None:
+        return nat
     i, j = m, n
     state = final_state
     ops_rev: List[int] = []
