@@ -141,21 +141,42 @@ def train_em(
     input_hmm: Optional[PairHmm] = None,
     psum_fn=None,
     log_fn=None,
+    checkpoint_path: Optional[str] = None,
 ) -> EmTrialResult:
-    """Run the full multi-trial EM and return the best trial."""
+    """Run the full multi-trial EM and return the best trial.
+
+    With checkpoint_path, state is saved after every iteration and training
+    resumes mid-trial from an existing checkpoint file (the jobTree-resume
+    equivalent; see align/checkpoint.py)."""
+    from .checkpoint import EmCheckpoint
+
     jobs = sample_jobs(jobs, options.max_alignment_length_to_sample,
                        options.seed)
     buckets = _bucket_jobs(jobs, options.band_width, options.max_batch_cells)
 
+    ckpt = EmCheckpoint.try_load(checkpoint_path)
+    start_trial = ckpt.trial if ckpt else 0
     best: Optional[EmTrialResult] = None
-    for trial in range(options.trials):
-        if options.random_start or input_hmm is None:
-            hmm = PairHmm.random(seed=options.seed * 1000 + trial)
+    if ckpt and ckpt.best_hmm() is not None:
+        bh = ckpt.best_hmm()
+        best = EmTrialResult(hmm=bh, likelihood=bh.likelihood,
+                             likelihood_history=[])
+
+    for trial in range(start_trial, options.trials):
+        if ckpt and trial == ckpt.trial:
+            hmm = ckpt.hmm()
+            history = list(ckpt.likelihood_history)
+            start_iter = ckpt.iteration
+            ll = history[-1] if history else -np.inf
         else:
-            hmm = input_hmm.copy()
-        history: List[float] = []
-        ll = -np.inf
-        for it in range(options.iterations):
+            if options.random_start or input_hmm is None:
+                hmm = PairHmm.random(seed=options.seed * 1000 + trial)
+            else:
+                hmm = input_hmm.copy()
+            history = []
+            start_iter = 0
+            ll = -np.inf
+        for it in range(start_iter, options.iterations):
             tc, em, eg, new_ll = expectation_step(
                 jobs, buckets, hmm, options.band_width, psum_fn
             )
@@ -164,6 +185,19 @@ def train_em(
             if log_fn:
                 log_fn("EM trial %d iter %d log-likelihood %.4f"
                        % (trial, it, new_ll))
+            if checkpoint_path:
+                EmCheckpoint(
+                    trial=trial, iteration=it + 1,
+                    transitions=hmm.transitions, emissions=hmm.emissions,
+                    likelihood_history=history,
+                    best_trial_likelihood=(
+                        best.likelihood if best else -np.inf
+                    ),
+                    best_transitions=(
+                        best.hmm.transitions if best else None
+                    ),
+                    best_emissions=best.hmm.emissions if best else None,
+                ).save(checkpoint_path)
             if np.isfinite(ll) and abs(new_ll - ll) < options.tolerance:
                 ll = new_ll
                 break
@@ -173,6 +207,16 @@ def train_em(
                                likelihood_history=history)
         if best is None or result.likelihood > best.likelihood:
             best = result
+        if checkpoint_path:
+            # Mark this trial complete: next trial starts fresh on resume.
+            EmCheckpoint(
+                trial=trial + 1, iteration=0,
+                transitions=hmm.transitions, emissions=hmm.emissions,
+                likelihood_history=[],
+                best_trial_likelihood=best.likelihood,
+                best_transitions=best.hmm.transitions,
+                best_emissions=best.hmm.emissions,
+            ).save(checkpoint_path)
     assert best is not None
     return best
 

@@ -87,6 +87,8 @@ def margin_align_main(argv=None) -> int:
     p.add_argument("--noRandomStart", action="store_true")
     p.add_argument("--maxAlignmentLengthToSample", type=int,
                    default=50_000_000)
+    p.add_argument("--emCheckpoint", default=None,
+                   help="Checkpoint file for EM training (resume-capable)")
     p.add_argument("--maxAlignmentLengthPerJob", type=int, default=700_000,
                    help="Accepted for compatibility; batching is automatic")
     _add_ignored_jobtree_options(p)
@@ -132,7 +134,8 @@ def margin_align_main(argv=None) -> int:
                 max_alignment_length_to_sample=args.maxAlignmentLengthToSample,
             )
             best = train_em(jobs, opts, input_hmm=hmm,
-                            log_fn=lambda s: print(s, file=sys.stderr))
+                            log_fn=lambda s: print(s, file=sys.stderr),
+                            checkpoint_path=args.emCheckpoint)
             hmm = normalise_trained_hmm(best.hmm)
             hmm.likelihood = best.likelihood
             if args.outputModel:

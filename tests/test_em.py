@@ -1,0 +1,125 @@
+"""EM training tests: convergence, recovery of known parameters,
+checkpoint/resume."""
+import os
+
+import numpy as np
+import pytest
+
+from marginalign_trna_tpu.align.em import (
+    EmOptions, normalise_trained_hmm, sample_jobs, train_em,
+)
+from marginalign_trna_tpu.align.realign import RealignJob
+from marginalign_trna_tpu.align.checkpoint import EmCheckpoint
+from marginalign_trna_tpu.io.sam import SamRecord
+from marginalign_trna_tpu.models.hmm import PairHmm
+from marginalign_trna_tpu.ops.band import path_from_cigar
+
+
+def _synthetic_jobs(rng, n_pairs=12, length=60, sub_rate=0.15):
+    """Read/ref pairs generated from refs with substitutions only (so the
+    true match fraction is known)."""
+    jobs = []
+    for idx in range(n_pairs):
+        ref = rng.integers(0, 4, size=length).astype(np.int8)
+        read = ref.copy()
+        k = max(1, int(sub_rate * length))
+        pos = rng.choice(length, size=k, replace=False)
+        read[pos] = (read[pos] + rng.integers(1, 4, size=k)) % 4
+        pd, pi = path_from_cigar([(0, length)])
+        rec = SamRecord(
+            qname="r%d" % idx, flag=0, rname="ref", pos=0, mapq=255,
+            cigar=[(0, length)], seq="A" * length,
+        )
+        jobs.append(RealignJob(record=rec, read_region=read, ref_region=ref,
+                               path=(pd, pi)))
+    return jobs
+
+
+def test_em_likelihood_monotone(rng):
+    jobs = _synthetic_jobs(rng)
+    opts = EmOptions(trials=1, iterations=6, band_width=15, seed=3,
+                     tolerance=0.0)
+    result = train_em(jobs, opts)
+    hist = result.likelihood_history
+    assert len(hist) >= 3
+    assert all(b >= a - 1e-2 for a, b in zip(hist, hist[1:])), hist
+
+
+def test_em_recovers_match_structure(rng):
+    """On substitution-only data, the trained model should put most match
+    emission mass on the diagonal and favour match-to-match transitions."""
+    jobs = _synthetic_jobs(rng, n_pairs=16, length=80, sub_rate=0.1)
+    opts = EmOptions(trials=2, iterations=15, band_width=15, seed=1)
+    result = train_em(jobs, opts)
+    e = result.hmm.emissions[0].reshape(4, 4)
+    diag_mass = np.trace(e)
+    assert diag_mass > 0.7, diag_mass
+    assert result.hmm.transitions[0, 0] > 0.8
+
+
+def test_em_normalisation_post_pass():
+    hmm = PairHmm.random(seed=5)
+    out = normalise_trained_hmm(hmm)
+    out.check()
+    assert np.allclose(out.emissions[2], 1.0 / 16.0)  # insert states flat
+    e1 = out.emissions[1].reshape(4, 4)
+    assert np.allclose(e1.sum(axis=1), 0.25)  # GC-0.5 ref rows
+
+
+def test_sample_jobs_cap(rng):
+    jobs = _synthetic_jobs(rng, n_pairs=10, length=50)
+    capped = sample_jobs(jobs, max_bases=120, seed=0)
+    assert sum(len(j.read_region) for j in capped) <= 120
+    assert len(capped) >= 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    ck = EmCheckpoint(
+        trial=1, iteration=7,
+        transitions=np.full((5, 5), 0.2),
+        emissions=np.full((5, 16), 1 / 16),
+        likelihood_history=[-10.0, -9.0],
+        best_trial_likelihood=-8.5,
+        best_transitions=np.eye(5),
+        best_emissions=np.full((5, 16), 1 / 16),
+    )
+    path = str(tmp_path / "em.ckpt")
+    ck.save(path)
+    back = EmCheckpoint.load(path)
+    assert back.trial == 1 and back.iteration == 7
+    assert back.likelihood_history == [-10.0, -9.0]
+    assert np.allclose(back.best_transitions, np.eye(5))
+
+
+def test_em_resume_matches_uninterrupted(rng, tmp_path):
+    jobs = _synthetic_jobs(rng, n_pairs=6, length=40)
+    base = EmOptions(trials=1, iterations=6, band_width=15, seed=2,
+                     tolerance=0.0)
+
+    full = train_em(jobs, base)
+
+    # Simulate a crash after 3 iterations: the per-iteration checkpoint
+    # written inside the loop is what a real interruption leaves behind.
+    ckpt = str(tmp_path / "em.ckpt")
+
+    class _Boom(Exception):
+        pass
+
+    calls = {"n": 0}
+
+    def crashing_log(_msg):
+        calls["n"] += 1
+        if calls["n"] == 4:  # during the 4th iteration, after 3 saves
+            raise _Boom()
+
+    with pytest.raises(_Boom):
+        train_em(jobs, base, checkpoint_path=ckpt, log_fn=crashing_log)
+    ck = EmCheckpoint.load(ckpt)
+    assert ck.trial == 0 and 0 < ck.iteration < 6
+
+    resumed = train_em(jobs, base, checkpoint_path=ckpt)
+
+    assert np.allclose(
+        resumed.hmm.transitions, full.hmm.transitions, atol=1e-5
+    )
+    assert np.allclose(resumed.hmm.emissions, full.hmm.emissions, atol=1e-5)
