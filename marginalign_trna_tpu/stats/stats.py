@@ -34,8 +34,14 @@ def aligned_pair_iterator(
     rec: SamRecord, ref_seq: str, read_seq: str
 ) -> Iterator[AlignedPairInfo]:
     """Aligned pairs in absolute read coordinates
-    (reference: AlignedPair.iterator, utils.py:256-287)."""
+    (reference: AlignedPair.iterator, utils.py:256-287).
+
+    The read offset already accounts for clipping, so query positions are
+    taken relative to the *aligned* region (the reference indexes
+    query_alignment_sequence by its pair positions, utils.py:274)."""
     read_offset = first_non_clipped_position_in_read(rec, read_seq)
+    q_start = rec.query_alignment_start
+    aligned_seq = rec.query_alignment_sequence
     assert len(rec.query_sequence) <= len(read_seq)
     for qpos, rpos in rec.aligned_pairs:
         if qpos is None or rpos is None:
@@ -43,11 +49,17 @@ def aligned_pair_iterator(
         assert rec.reference_start <= rpos < rec.reference_end
         if rpos >= len(ref_seq):
             continue  # reference masks an off-by-one in BWA SAMs the same way
-        abs_read_pos = abs(read_offset + qpos)
+        q_rel = qpos - q_start
+        abs_read_pos = abs(read_offset + q_rel)
         assert 0 <= abs_read_pos < len(read_seq)
         base = read_seq[abs_read_pos]
         if rec.is_reverse:
             base = complement_char(base)
+        # Consistency of the absolute-coordinate fetch with the aligned
+        # sequence (the reference logs discrepancies; we enforce them).
+        assert base.upper() == aligned_seq[q_rel].upper(), (
+            rec.qname, qpos, abs_read_pos
+        )
         yield AlignedPairInfo(
             ref_pos=rpos,
             read_pos=abs_read_pos,

@@ -7,6 +7,9 @@ multi-chip topology without TPU hardware; kernels run in interpret mode
 where needed.
 """
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
