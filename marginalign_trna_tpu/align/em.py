@@ -103,6 +103,7 @@ def expectation_step(
             [jobs[i].ref_region for i in bucket],
             width=band_width,
             paths=[jobs[i].path for i in bucket],
+            quantize=True,
         )
         res = forward_backward(
             tables, device_batch(batch), want_posteriors=False, want_counts=True

@@ -104,7 +104,8 @@ def realigned_ops_for_jobs(
         reads = [jobs[i].read_region for i in bucket]
         refs = [jobs[i].ref_region for i in bucket]
         paths = [jobs[i].path for i in bucket]
-        batch = pack_banded_batch(reads, refs, width=band_width, paths=paths)
+        batch = pack_banded_batch(reads, refs, width=band_width, paths=paths,
+                                  quantize=True)
         _, post_dev = fb_posteriors(tables, device_batch(batch))
         post = np.asarray(post_dev)
         ops_list = mea_decode(post, batch, gap_gamma, match_gamma)

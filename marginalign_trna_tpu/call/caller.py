@@ -73,6 +73,7 @@ def accumulate_expectations(
             [jobs[i].ref_region for i in bucket],
             width=options.band_width,
             paths=[jobs[i].path for i in bucket],
+            quantize=True,
         )
         _, post_dev = fb_posteriors(tables, device_batch(batch))
         post = np.asarray(post_dev)  # [D1, Wp, Bpad]

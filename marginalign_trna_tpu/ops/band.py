@@ -147,11 +147,14 @@ def pack_banded_batch(
     paths: Optional[Sequence[Optional[Tuple[np.ndarray, np.ndarray]]]] = None,
     pad_batch_to: Optional[int] = None,
     pad_steps_to: Optional[int] = None,
+    quantize: bool = False,
 ) -> BandedBatch:
     """Pack encoded read/ref code arrays into a BandedBatch.
 
     reads[b], refs[b]: int8 code arrays (A=0..T=3, N=4).  paths[b] is an
-    optional (path_d, path_i) guide path in prefix coordinates.
+    optional (path_d, path_i) guide path in prefix coordinates.  With
+    quantize=True, the step count rounds up to a multiple of 1024 and the
+    lane count to a power of two, so repeated calls reuse compiled kernels.
     """
     B0 = len(reads)
     assert len(refs) == B0
@@ -161,7 +164,11 @@ def pack_banded_batch(
     if pad_steps_to is not None:
         assert pad_steps_to >= D1
         D1 = pad_steps_to
+    elif quantize:
+        D1 = -(-D1 // 1024) * 1024
     B = pad_batch_to if pad_batch_to is not None else B0
+    if pad_batch_to is None and quantize:
+        B = 1 << max(3, (B0 - 1).bit_length())
     assert B >= B0
     Wp = padded_band_width(width)
 
