@@ -19,12 +19,25 @@ import numpy as np
 def _setup_platform() -> None:
     """Honour MARGINALIGN_PLATFORM=cpu|tpu|axon.  The environment may pin a
     TPU PJRT plugin via JAX_PLATFORMS at interpreter start; jax.config is
-    authoritative after import."""
+    authoritative after import.  Also enables a persistent compilation
+    cache so repeated CLI invocations skip XLA compiles (shapes are
+    quantised in ops/band.py for exactly this reason)."""
+    import jax
+
     plat = os.environ.get("MARGINALIGN_PLATFORM")
     if plat:
-        import jax
-
         jax.config.update("jax_platforms", "cpu" if plat == "cpu" else plat)
+    cache_dir = os.environ.get(
+        "MARGINALIGN_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "marginalign_jax"),
+    )
+    if cache_dir and cache_dir != "0":
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        except Exception:
+            pass
 
 
 def _default_model_path() -> str:
