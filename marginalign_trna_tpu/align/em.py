@@ -17,7 +17,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..models.hmm import GAP_X_STATES, GAP_Y_STATES, PairHmm
+from ..models.hmm import GAP_X_STATES, GAP_Y_STATES, MODEL_TYPES, PairHmm
 from ..ops.band import pack_banded_batch
 from ..ops.fb import device_batch, forward_backward, make_tables
 from .realign import RealignJob, _bucket_jobs, DEFAULT_BAND_WIDTH
@@ -31,6 +31,8 @@ class EmOptions:
     trials: int = 3
     iterations: int = 100
     random_start: bool = True
+    # Model family (reference: cPecanEm modelType, marginAlign.py:40).
+    model_type: str = "fiveStateAsymmetric"
     max_alignment_length_to_sample: int = 50_000_000
     band_width: int = DEFAULT_BAND_WIDTH
     max_batch_cells: int = 12_000_000
@@ -164,6 +166,7 @@ def train_em(
                              likelihood_history=[])
 
     for trial in range(start_trial, options.trials):
+        model_type_code = MODEL_TYPES[options.model_type]
         if ckpt and trial == ckpt.trial:
             hmm = ckpt.hmm()
             history = list(ckpt.likelihood_history)
@@ -177,11 +180,14 @@ def train_em(
             history = []
             start_iter = 0
             ll = -np.inf
+        hmm.model_type = model_type_code
+        hmm.apply_model_type_constraints()
         for it in range(start_iter, options.iterations):
             tc, em, eg, new_ll = expectation_step(
                 jobs, buckets, hmm, options.band_width, psum_fn
             )
             hmm = _m_step(hmm, tc, em, eg, options.train_emissions)
+            hmm.apply_model_type_constraints()
             history.append(new_ll)
             if log_fn:
                 log_fn("EM trial %d iter %d log-likelihood %.4f"

@@ -95,6 +95,10 @@ def margin_align_main(argv=None) -> int:
     p.add_argument("--outputModel", default=None,
                    help="Where to write the EM-trained model")
     # EM options (cPecanEm.Options surface, marginAlign.py:38-53).
+    p.add_argument("--modelType", default="fiveStateAsymmetric",
+                   choices=["fiveState", "fiveStateAsymmetric", "threeState",
+                            "threeStateAsymmetric"],
+                   help="HMM model family for EM training")
     p.add_argument("--trials", type=int, default=3)
     p.add_argument("--iterations", type=int, default=100)
     p.add_argument("--noRandomStart", action="store_true")
@@ -141,6 +145,7 @@ def margin_align_main(argv=None) -> int:
             refs = get_fasta_dictionary(args.referenceFastaFile)
             jobs = _jobs_from_sam(sam, refs, encode)
             opts = EmOptions(
+                model_type=args.modelType,
                 trials=args.trials,
                 iterations=args.iterations,
                 random_start=not args.noRandomStart,

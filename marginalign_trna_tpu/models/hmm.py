@@ -66,39 +66,66 @@ class PairHmm:
 
     # ------------------------------------------------------------------ codec
 
+    @property
+    def native_state_number(self) -> int:
+        """States in the on-disk representation: 3 for the threeState model
+        types, 5 otherwise.  Internally everything is 5-state; for 3-state
+        models states 3 and 4 are inert (self-loop 1, unreachable)."""
+        return 3 if self.model_type in (2, 3) else STATE_NUMBER
+
     @staticmethod
     def load(path: str) -> "PairHmm":
-        """Parse the reference text format, with the same internal
-        consistency checks as the reference Hmm.loadHmm (rows ~sum to 1)."""
+        """Parse the reference text format (3- or 5-state), with the same
+        internal consistency checks as the reference Hmm.loadHmm (rows ~sum
+        to 1).  Three-state models expand to the internal 5-state form with
+        inert long-gap states."""
         with open(path) as fh:
             line1 = fh.readline().split()
             line2 = fh.readline().split()
-        assert len(line1) == 1 + STATE_NUMBER * STATE_NUMBER + 1, (
+        n_tokens = len(line1) - 2
+        state_number = int(round(n_tokens ** 0.5))
+        assert state_number * state_number == n_tokens and state_number in (3, 5), (
             "Bad HMM transitions line in %s" % path
         )
         model_type = int(line1[0])
-        transitions = np.array(line1[1:-1], dtype=np.float64).reshape(
-            STATE_NUMBER, STATE_NUMBER
+        native_t = np.array(line1[1:-1], dtype=np.float64).reshape(
+            state_number, state_number
         )
         likelihood = float(line1[-1])
-        assert len(line2) == STATE_NUMBER * SYMBOL_NUMBER**2, (
+        assert len(line2) == state_number * SYMBOL_NUMBER**2, (
             "Bad HMM emissions line in %s" % path
         )
-        emissions = np.array(line2, dtype=np.float64).reshape(
-            STATE_NUMBER, SYMBOL_NUMBER**2
+        native_e = np.array(line2, dtype=np.float64).reshape(
+            state_number, SYMBOL_NUMBER**2
         )
+        if state_number == 3:
+            transitions = np.zeros((STATE_NUMBER, STATE_NUMBER))
+            transitions[:3, :3] = native_t
+            transitions[3, 3] = 1.0
+            transitions[4, 4] = 1.0
+            emissions = np.full(
+                (STATE_NUMBER, SYMBOL_NUMBER**2), 1.0 / SYMBOL_NUMBER**2
+            )
+            emissions[:3] = native_e
+        else:
+            transitions, emissions = native_t, native_e
         hmm = PairHmm(transitions, emissions, likelihood, model_type)
         hmm.check()
         return hmm
 
     def write(self, path: str) -> None:
+        n = self.native_state_number
         with open(path, "w") as fh:
             tokens = [str(self.model_type)]
-            tokens += [repr(float(x)) for x in self.transitions.reshape(-1)]
+            tokens += [
+                repr(float(x)) for x in self.transitions[:n, :n].reshape(-1)
+            ]
             tokens.append(repr(float(self.likelihood)))
             fh.write(" ".join(tokens) + "\n")
             fh.write(
-                " ".join(repr(float(x)) for x in self.emissions.reshape(-1)) + "\n"
+                " ".join(
+                    repr(float(x)) for x in self.emissions[:n].reshape(-1)
+                ) + "\n"
             )
 
     def check(self, tol: float = 1e-5) -> None:
@@ -188,6 +215,42 @@ class PairHmm:
         np.fill_diagonal(n, 1.0 - r)
         e = self.emissions[MATCH_STATE].reshape(SYMBOL_NUMBER, SYMBOL_NUMBER)
         self.emissions[MATCH_STATE] = (e @ n).reshape(-1)
+
+    def apply_model_type_constraints(self) -> None:
+        """Project the parameters onto the model family's constraint set
+        (reference: cPecanEm modelType in {fiveState, fiveStateAsymmetric,
+        threeState, threeStateAsymmetric}; src/margin/marginAlign.py:40).
+
+        - threeState*: no long-gap states — mass into states 3/4 is removed
+          (rows renormalised) and they become inert self-loops;
+        - symmetric families (fiveState, threeState): parameters tied under
+          the X<->Y swap (1<->2, 3<->4; emissions transpose).
+        """
+        if self.model_type in (2, 3):  # three-state families
+            t = self.transitions
+            t[:3, 3:] = 0.0
+            t[3:, :] = 0.0
+            t[3, 3] = 1.0
+            t[4, 4] = 1.0
+            rows = t[:3].sum(axis=1, keepdims=True)
+            t[:3] = np.where(rows > 0, t[:3] / np.maximum(rows, 1e-30),
+                             t[:3])
+            self.emissions[3:] = 1.0 / SYMBOL_NUMBER**2
+        if self.model_type in (0, 2):  # symmetric families
+            swap = [0, 2, 1, 4, 3]
+            t_sym = 0.5 * (
+                self.transitions + self.transitions[swap][:, swap]
+            )
+            self.transitions = t_sym
+            e = self.emissions.reshape(
+                STATE_NUMBER, SYMBOL_NUMBER, SYMBOL_NUMBER
+            )
+            e_swapped = e[swap].transpose(0, 2, 1)
+            self.emissions = (0.5 * (e + e_swapped)).reshape(
+                STATE_NUMBER, SYMBOL_NUMBER**2
+            )
+            if self.model_type == 2:
+                self.emissions[3:] = 1.0 / SYMBOL_NUMBER**2
 
     # --------------------------------------------------------- constructors
 

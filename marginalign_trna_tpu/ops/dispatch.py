@@ -30,9 +30,9 @@ def fb_posteriors(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(logZ [B], posterior match band [D1, Wp, B]) via the active kernel."""
     if use_pallas():
-        from .fb_pallas import posteriors_pallas
+        from .fb_pallas import posteriors_pallas_specialised
 
-        return posteriors_pallas(tables, batch)
+        return posteriors_pallas_specialised(tables, batch)
     res = forward_backward(
         tables, batch, want_posteriors=True, want_counts=False
     )

@@ -14,8 +14,13 @@ kernels run the whole wavefront inside a single pallas_call:
 HBM-traffic design: the posterior path stores only the match-state forward
 values (the backward recurrence itself needs no stored F; posteriors need
 F_M*B_M only), plus a per-step [1, B] terminal-cell snapshot from which logZ
-is gathered.  That is 3x[Wp, B] f32 of traffic per step (F_M write, F_M
-read, posterior write) instead of 11x for naive all-state storage.
+is gathered.
+
+Model-specialised kernels: for serving, the 5x5 transition and emission
+tables are baked in as trace-time constants, so zero transitions (most of
+the 5-state model's rows) and flat indel emissions (all shipped/normalised
+models) fold away entirely — the dominant per-cell op count drops ~35%.
+The dynamic-table variant remains for changing models (EM) and tests.
 
 Layout: band window Wp in sublanes (multiple of 8), reads B in lanes
 (ideally a multiple of 128).  States are separate [Wp, B] buffers.  Scaled
@@ -26,7 +31,7 @@ XLA-scan engine on TPU (whose einsums round through the MXU).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +43,7 @@ from .fb import DeviceBatch, FbTables
 
 _NSTATE = 5
 STEP_BLOCK = 8  # anti-diagonals per grid step
+_NEVER = 99     # sentinel compare value that never matches s1/s2
 
 
 def _use_interpret() -> bool:
@@ -55,31 +61,97 @@ def _roll_shift(a, t_is_1, t_is_m1):
     return jnp.where(t_is_1, up, jnp.where(t_is_m1, down, a))
 
 
-_NEVER = 99  # sentinel compare value that never matches s1/s2
+def static_tables(tables: FbTables):
+    """Hashable (T, Ematch, Egap) nested float tuples for kernel baking."""
+    t = np.asarray(tables.T, np.float32)
+    em = np.asarray(tables.Ematch, np.float32)
+    eg = np.asarray(tables.Egap, np.float32)
+    tup = lambda a: tuple(tuple(float(v) for v in row) for row in a)
+    return (tup(t), tup(em), tup(eg))
 
 
-def _emissions_kernel(Em_ref, Eg_ref, xb, yb, want_match=True, want_gap=True):
-    """e_match [Wp,B] and e_gap[s] list, from int32 code arrays."""
-    ex = [(xb == a).astype(jnp.float32) for a in range(5)]
-    ey = [(yb == c).astype(jnp.float32) for c in range(5)]
+class _TableView:
+    """Uniform [a][b] scalar access over either loaded VMEM arrays or baked
+    float constants, with is_zero / flat-row knowledge for folding."""
+
+    def __init__(self, rows):
+        self.rows = rows  # list of lists of scalars (traced or python float)
+
+    def __getitem__(self, a):
+        return self.rows[a]
+
+    def is_zero(self, a, b) -> bool:
+        v = self.rows[a][b]
+        return isinstance(v, float) and v == 0.0
+
+    def flat_row(self, a) -> Optional[float]:
+        row = self.rows[a]
+        if all(isinstance(v, float) for v in row) and len(set(row)) == 1:
+            return row[0]
+        return None
+
+    @staticmethod
+    def from_ref(ref):
+        arr = ref[:, :]
+        return _TableView(
+            [[arr[a, b] for b in range(5)] for a in range(5)]
+        )
+
+    @staticmethod
+    def from_tuple(tup):
+        return _TableView([list(row) for row in tup])
+
+
+def _emissions(Em: Optional[_TableView], Eg: Optional[_TableView], xb, yb):
+    """e_match [Wp,B] (if Em) and e_gap[s] values/scalars (if Eg)."""
+    ex = ey = None
     e_match = None
-    if want_match:
+    if Em is not None:
+        ex = [(xb == a).astype(jnp.float32) for a in range(5)]
+        ey = [(yb == c).astype(jnp.float32) for c in range(5)]
         e_match = jnp.zeros_like(ex[0])
         for a in range(5):
-            tmp = Em_ref[a, 0] * ey[0]
-            for c in range(1, 5):
-                tmp = tmp + Em_ref[a, c] * ey[c]
-            e_match = e_match + ex[a] * tmp
+            tmp = None
+            for c in range(5):
+                if Em.is_zero(a, c):
+                    continue
+                term = Em[a][c] * ey[c]
+                tmp = term if tmp is None else tmp + term
+            if tmp is not None:
+                e_match = e_match + ex[a] * tmp
     e_gap = None
-    if want_gap:
+    if Eg is not None:
         e_gap = [None] * _NSTATE
         for s in range(1, _NSTATE):
-            basis = ex if s in (1, 3) else ey
-            eg = Eg_ref[s, 0] * basis[0]
-            for a in range(1, 5):
-                eg = eg + Eg_ref[s, a] * basis[a]
-            e_gap[s] = eg
+            flat = Eg.flat_row(s)
+            if flat is not None:
+                e_gap[s] = flat  # scalar: folds into downstream multiplies
+                continue
+            use_x = s in (1, 3)
+            if use_x and ex is None:
+                ex = [(xb == a).astype(jnp.float32) for a in range(5)]
+            if not use_x and ey is None:
+                ey = [(yb == c).astype(jnp.float32) for c in range(5)]
+            basis = ex if use_x else ey
+            acc = None
+            for a in range(5):
+                if Eg.is_zero(s, a):
+                    continue
+                term = Eg[s][a] * basis[a]
+                acc = term if acc is None else acc + term
+            e_gap[s] = acc if acc is not None else 0.0
     return e_match, e_gap
+
+
+def _mix(T: _TableView, vals, target: int, zero):
+    """sum_s vals[s] * T[s][target], skipping statically-zero terms."""
+    acc = None
+    for s in range(_NSTATE):
+        if T.is_zero(s, target):
+            continue
+        term = vals[s] * T[s][target]
+        acc = term if acc is None else acc + term
+    return acc if acc is not None else zero
 
 
 def _max5(vals):
@@ -90,27 +162,24 @@ def _max5(vals):
     )
 
 
-def _fwd_kernel(
-    # inputs blocked per K diagonals
-    xb_ref, yb_ref, valid_ref, s1_ref, s2_ref, fink_ref,
-    # full-array inputs
-    T_ref, Em_ref, Eg_ref,
-    # outputs
-    fm_out_ref, lsf_ref, term_ref,
-    # scratch: DP frontier
-    f1_0, f1_1, f1_2, f1_3, f1_4,
-    f2_0, f2_1, f2_2, f2_3, f2_4,
-    ls_ref, cprev_ref,
+def _sum5(vals):
+    return vals[0] + vals[1] + vals[2] + vals[3] + vals[4]
+
+
+# ----------------------------------------------------------------- forward
+
+
+def _fwd_body(
+    views, xb_ref, yb_ref, valid_ref, s1_ref, s2_ref, fink_ref,
+    fm_out_ref, lsf_ref, term_ref, f1_refs, f2_refs, ls_ref, cprev_ref,
 ):
+    T, Em, Eg = views
     i = pl.program_id(0)
-    f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
-    f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
-    T = T_ref[:, :]
 
     @pl.when(i == 0)
     def _init():
         # F at d=0 is pure initialisation: pi at band cell (0,0).
-        zero = jnp.zeros_like(f1_0[:, :])
+        zero = jnp.zeros_like(f1_refs[0][:, :])
         row0 = jax.lax.broadcasted_iota(jnp.int32, zero.shape, 0) == 0
         init = jnp.where(row0, 0.2, 0.0)
         for s in range(_NSTATE):
@@ -119,11 +188,11 @@ def _fwd_kernel(
         ls_ref[:, :] = jnp.zeros_like(ls_ref)
         cprev_ref[:, :] = jnp.ones_like(cprev_ref)
 
-    # Registers carried across the unrolled inner steps.
     f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
     f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
     ls = ls_ref[:, :]
     cprev = cprev_ref[:, :]
+    zero_arr = jnp.zeros_like(f1[0])
 
     for kb in range(STEP_BLOCK):
         xb = xb_ref[kb].astype(jnp.int32)
@@ -132,14 +201,10 @@ def _fwd_kernel(
         s1 = s1_ref[kb]
         s2 = s2_ref[kb]
 
-        e_match, e_gap = _emissions_kernel(Em_ref, Eg_ref, xb, yb)
+        e_match, e_gap = _emissions(Em, Eg, xb, yb)
 
-        mix_m = (f2[0] * T[0, 0] + f2[1] * T[1, 0] + f2[2] * T[2, 0]
-                 + f2[3] * T[3, 0] + f2[4] * T[4, 0]) / cprev
-        mix_g = []
-        for t in range(1, _NSTATE):
-            mix_g.append(f1[0] * T[0, t] + f1[1] * T[1, t] + f1[2] * T[2, t]
-                         + f1[3] * T[3, t] + f1[4] * T[4, t])
+        mix_m = _mix(T, f2, 0, zero_arr) / cprev
+        mix_g = [_mix(T, f1, t, zero_arr) for t in range(1, _NSTATE)]
 
         new = [None] * _NSTATE
         new[0] = e_match * _roll_shift(mix_m, s2 == 2, s2 == 0) * valid
@@ -190,8 +255,47 @@ def _fwd_kernel(
     cprev_ref[:, :] = cprev
 
 
-def _sum5(vals):
-    return vals[0] + vals[1] + vals[2] + vals[3] + vals[4]
+def _fwd_kernel_dynamic(
+    xb_ref, yb_ref, valid_ref, s1_ref, s2_ref, fink_ref,
+    T_ref, Em_ref, Eg_ref,
+    fm_out_ref, lsf_ref, term_ref,
+    f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
+    ls_ref, cprev_ref,
+):
+    views = (
+        _TableView.from_ref(T_ref),
+        _TableView.from_ref(Em_ref),
+        _TableView.from_ref(Eg_ref),
+    )
+    _fwd_body(
+        views, xb_ref, yb_ref, valid_ref, s1_ref, s2_ref, fink_ref,
+        fm_out_ref, lsf_ref, term_ref,
+        (f1_0, f1_1, f1_2, f1_3, f1_4), (f2_0, f2_1, f2_2, f2_3, f2_4),
+        ls_ref, cprev_ref,
+    )
+
+
+def _make_fwd_kernel_static(st):
+    views = (
+        _TableView.from_tuple(st[0]),
+        _TableView.from_tuple(st[1]),
+        _TableView.from_tuple(st[2]),
+    )
+
+    def kernel(
+        xb_ref, yb_ref, valid_ref, s1_ref, s2_ref, fink_ref,
+        fm_out_ref, lsf_ref, term_ref,
+        f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
+        ls_ref, cprev_ref,
+    ):
+        _fwd_body(
+            views, xb_ref, yb_ref, valid_ref, s1_ref, s2_ref, fink_ref,
+            fm_out_ref, lsf_ref, term_ref,
+            (f1_0, f1_1, f1_2, f1_3, f1_4), (f2_0, f2_1, f2_2, f2_3, f2_4),
+            ls_ref, cprev_ref,
+        )
+
+    return kernel
 
 
 class PallasFwdResult(NamedTuple):
@@ -207,8 +311,7 @@ def _pad_steps(a, d1k):
     return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
 
 
-@jax.jit
-def forward_pallas(tables: FbTables, batch: DeviceBatch) -> PallasFwdResult:
+def _run_forward(tables, batch, st):
     D1, Wp, B = batch.xb.shape
     K = STEP_BLOCK
     D1K = -(-D1 // K) * K
@@ -229,10 +332,8 @@ def forward_pallas(tables: FbTables, batch: DeviceBatch) -> PallasFwdResult:
                         memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    fm_out, lsf2, term2 = pl.pallas_call(
-        _fwd_kernel,
+    common = dict(
         grid=(G,),
-        in_specs=[blk3, blk3, blk3, blk2, blk2, blk2, full, full, full],
         out_specs=[blk3, blk2, blk2],
         out_shape=[
             jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
@@ -245,7 +346,20 @@ def forward_pallas(tables: FbTables, batch: DeviceBatch) -> PallasFwdResult:
                pltpu.VMEM((1, B), jnp.float32)]
         ),
         interpret=_use_interpret(),
-    )(xb, yb, valid, s1, s2, fink, tables.T, tables.Ematch, tables.Egap)
+    )
+    if st is None:
+        fm_out, lsf2, term2 = pl.pallas_call(
+            _fwd_kernel_dynamic,
+            in_specs=[blk3, blk3, blk3, blk2, blk2, blk2, full, full, full],
+            **common,
+        )(xb, yb, valid, s1, s2, fink,
+          tables.T, tables.Ematch, tables.Egap)
+    else:
+        fm_out, lsf2, term2 = pl.pallas_call(
+            _make_fwd_kernel_static(st),
+            in_specs=[blk3, blk3, blk3, blk2, blk2, blk2],
+            **common,
+        )(xb, yb, valid, s1, s2, fink)
 
     lsf = lsf2[:, 0, :]
     term = term2[:, 0, :]
@@ -257,29 +371,27 @@ def forward_pallas(tables: FbTables, batch: DeviceBatch) -> PallasFwdResult:
     return PallasFwdResult(F_match=fm_out, lsf=lsf, logZ=logZ)
 
 
-def _bwd_kernel(
-    # inputs blocked per K diagonals (descending blocks)
-    fm_ref, lsf_ref, valid_ref,
+@jax.jit
+def forward_pallas(tables: FbTables, batch: DeviceBatch) -> PallasFwdResult:
+    return _run_forward(tables, batch, None)
+
+
+# ---------------------------------------------------------------- backward
+
+
+def _bwd_body(
+    views, fm_ref, lsf_ref, valid_ref,
     xb1_ref, yb1_ref, xb2_ref, yb2_ref, s1n_ref, s2n_ref,
-    fink_ref, find_ref,
-    # full inputs
-    T_ref, Em_ref, Eg_ref, logZ_ref,
-    # outputs
-    post_ref,
-    # scratch
-    b1_0, b1_1, b1_2, b1_3, b1_4,
-    b2_0, b2_1, b2_2, b2_3, b2_4,
-    bls_ref, cprev_ref,
+    fink_ref, find_ref, logZ,
+    post_ref, b1_refs, b2_refs, bls_ref, cprev_ref,
 ):
+    T, Em, Eg = views
     i = pl.program_id(0)
-    b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
-    b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
-    T = T_ref[:, :]
     K = STEP_BLOCK
 
     @pl.when(i == 0)
     def _init():
-        zero = jnp.zeros_like(b1_0[:, :])
+        zero = jnp.zeros_like(b1_refs[0][:, :])
         for s in range(_NSTATE):
             b1_refs[s][:, :] = zero
             b2_refs[s][:, :] = zero
@@ -304,10 +416,8 @@ def _bwd_kernel(
         s1n = s1n_ref[kb]
         s2n = s2n_ref[kb]
 
-        e_match2, _ = _emissions_kernel(Em_ref, Eg_ref, xb2, yb2,
-                                        want_gap=False)
-        _, e_gap1 = _emissions_kernel(Em_ref, Eg_ref, xb1, yb1,
-                                      want_match=False)
+        e_match2, _ = _emissions(Em, None, xb2, yb2)
+        _, e_gap1 = _emissions(None, Eg, xb1, yb1)
 
         q = [None] * _NSTATE
         # Match target at d+2 (b2 is one scale step behind b1).
@@ -322,11 +432,17 @@ def _bwd_kernel(
             (kidx == fink_ref[kb]) & (d == find_ref[kb]), 1.0, 0.0
         )
 
+        zero_arr = jnp.zeros_like(q[0])
         new = [None] * _NSTATE
         for s in range(_NSTATE):
-            acc = q[0] * T[s, 0]
-            for u in range(1, _NSTATE):
-                acc = acc + q[u] * T[s, u]
+            acc = None
+            for u in range(_NSTATE):
+                if T.is_zero(s, u):
+                    continue
+                term = q[u] * T[s][u]
+                acc = term if acc is None else acc + term
+            if acc is None:
+                acc = zero_arr
             new[s] = (acc + inj) * valid
 
         bmax = _max5(new).max(axis=0, keepdims=True)
@@ -335,7 +451,7 @@ def _bwd_kernel(
         bls = bls + jnp.log(c)
         cprev = c
 
-        alpha = jnp.exp(lsf_ref[kb] + bls - logZ_ref[:, :])
+        alpha = jnp.exp(lsf_ref[kb] + bls - logZ)
         post_ref[kb] = fm_ref[kb] * (new[0] * inv_c) * alpha
 
         b2 = b1
@@ -348,17 +464,62 @@ def _bwd_kernel(
     cprev_ref[:, :] = cprev
 
 
-@jax.jit
-def posteriors_pallas(
-    tables: FbTables, batch: DeviceBatch
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Full FB with Pallas kernels.  Returns (logZ [B], posteriors
-    [D1, Wp, B]) matching ops/fb.forward_backward's posterior output."""
+def _bwd_kernel_dynamic(
+    fm_ref, lsf_ref, valid_ref,
+    xb1_ref, yb1_ref, xb2_ref, yb2_ref, s1n_ref, s2n_ref,
+    fink_ref, find_ref,
+    T_ref, Em_ref, Eg_ref, logZ_ref,
+    post_ref,
+    b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
+    bls_ref, cprev_ref,
+):
+    views = (
+        _TableView.from_ref(T_ref),
+        _TableView.from_ref(Em_ref),
+        _TableView.from_ref(Eg_ref),
+    )
+    _bwd_body(
+        views, fm_ref, lsf_ref, valid_ref,
+        xb1_ref, yb1_ref, xb2_ref, yb2_ref, s1n_ref, s2n_ref,
+        fink_ref, find_ref, logZ_ref[:, :],
+        post_ref,
+        (b1_0, b1_1, b1_2, b1_3, b1_4), (b2_0, b2_1, b2_2, b2_3, b2_4),
+        bls_ref, cprev_ref,
+    )
+
+
+def _make_bwd_kernel_static(st):
+    views = (
+        _TableView.from_tuple(st[0]),
+        _TableView.from_tuple(st[1]),
+        _TableView.from_tuple(st[2]),
+    )
+
+    def kernel(
+        fm_ref, lsf_ref, valid_ref,
+        xb1_ref, yb1_ref, xb2_ref, yb2_ref, s1n_ref, s2n_ref,
+        fink_ref, find_ref, logZ_ref,
+        post_ref,
+        b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
+        bls_ref, cprev_ref,
+    ):
+        _bwd_body(
+            views, fm_ref, lsf_ref, valid_ref,
+            xb1_ref, yb1_ref, xb2_ref, yb2_ref, s1n_ref, s2n_ref,
+            fink_ref, find_ref, logZ_ref[:, :],
+            post_ref,
+            (b1_0, b1_1, b1_2, b1_3, b1_4), (b2_0, b2_1, b2_2, b2_3, b2_4),
+            bls_ref, cprev_ref,
+        )
+
+    return kernel
+
+
+def _run_backward(tables, batch, fwd: PallasFwdResult, st):
     D1, Wp, B = batch.xb.shape
     K = STEP_BLOCK
     D1K = -(-D1 // K) * K
     G = D1K // K
-    fwd = forward_pallas(tables, batch)
 
     # Successor-diagonal views are pre-sliced from padded arrays, so every
     # block below uses the same offset-free descending block index map.
@@ -383,19 +544,8 @@ def posteriors_pallas(
         batch.final_d.astype(jnp.int32)[None, None, :], (D1K, 1, B)
     )
 
-    post = pl.pallas_call(
-        _bwd_kernel,
+    common = dict(
         grid=(G,),
-        in_specs=[
-            rev3,              # F_match at d
-            rev2,              # lsf at d
-            rev3,              # valid at d
-            rev3, rev3,        # xb, yb at d+1 (pre-sliced)
-            rev3, rev3,        # xb, yb at d+2 (pre-sliced)
-            rev2, rev2,        # s1 at d+1, s2 at d+2 (pre-sliced)
-            rev2, rev2,        # final_k, final_d broadcasts
-            full, full, full, full,
-        ],
         out_specs=[rev3],
         out_shape=[jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32)],
         scratch_shapes=(
@@ -404,7 +554,8 @@ def posteriors_pallas(
                pltpu.VMEM((1, B), jnp.float32)]
         ),
         interpret=_use_interpret(),
-    )(
+    )
+    args = [
         fwd.F_match,
         fwd.lsf[:, None, :],
         valid,
@@ -412,7 +563,45 @@ def posteriors_pallas(
         xb_p[2 : D1K + 2], yb_p[2 : D1K + 2],
         s1_p[1 : D1K + 1], s2_p[2 : D1K + 2],
         fink, find,
-        tables.T, tables.Ematch, tables.Egap,
-        fwd.logZ[None, :],
-    )[0]
-    return fwd.logZ, post[:D1]
+    ]
+    specs = [rev3, rev2, rev3, rev3, rev3, rev3, rev3, rev2, rev2,
+             rev2, rev2]
+    if st is None:
+        post = pl.pallas_call(
+            _bwd_kernel_dynamic,
+            in_specs=specs + [full, full, full, full],
+            **common,
+        )(*args, tables.T, tables.Ematch, tables.Egap, fwd.logZ[None, :])[0]
+    else:
+        post = pl.pallas_call(
+            _make_bwd_kernel_static(st),
+            in_specs=specs + [full],
+            **common,
+        )(*args, fwd.logZ[None, :])[0]
+    return post[:D1]
+
+
+@jax.jit
+def posteriors_pallas(
+    tables: FbTables, batch: DeviceBatch
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full FB with dynamic model tables (works for any model; used when the
+    model changes between calls, e.g. inside EM)."""
+    fwd = _run_forward(tables, batch, None)
+    post = _run_backward(tables, batch, fwd, None)
+    return fwd.logZ, post
+
+
+@functools.partial(jax.jit, static_argnames=("st",))
+def _posteriors_pallas_static(st, batch: DeviceBatch):
+    fwd = _run_forward(None, batch, st)
+    post = _run_backward(None, batch, fwd, st)
+    return fwd.logZ, post
+
+
+def posteriors_pallas_specialised(
+    tables: FbTables, batch: DeviceBatch
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Model-specialised FB: tables baked as constants (recompiles per
+    model; intended for serving where the model is fixed)."""
+    return _posteriors_pallas_static(static_tables(tables), batch)

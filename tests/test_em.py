@@ -123,3 +123,35 @@ def test_em_resume_matches_uninterrupted(rng, tmp_path):
         resumed.hmm.transitions, full.hmm.transitions, atol=1e-5
     )
     assert np.allclose(resumed.hmm.emissions, full.hmm.emissions, atol=1e-5)
+
+
+@pytest.mark.parametrize("model_type", [
+    "fiveState", "threeState", "threeStateAsymmetric",
+])
+def test_em_model_families(rng, model_type, tmp_path):
+    """All four model families train and satisfy their constraints
+    (reference surface: cPecanEm modelType, marginAlign.py:40)."""
+    jobs = _synthetic_jobs(rng, n_pairs=6, length=40)
+    opts = EmOptions(trials=1, iterations=4, band_width=15, seed=4,
+                     model_type=model_type, tolerance=0.0)
+    result = train_em(jobs, opts)
+    hmm = result.hmm
+    hmm.check()
+    if model_type.startswith("threeState"):
+        assert np.all(hmm.transitions[:3, 3:] == 0)
+        assert hmm.transitions[3, 3] == 1.0
+        assert hmm.native_state_number == 3
+        # Round-trips through the 3-state on-disk format.
+        p = str(tmp_path / "m3.hmm")
+        hmm.write(p)
+        back = PairHmm.load(p)
+        assert back.native_state_number == 3
+        assert np.allclose(back.transitions[:3, :3], hmm.transitions[:3, :3])
+    if model_type in ("fiveState", "threeState"):
+        swap = [0, 2, 1, 4, 3]
+        t = hmm.transitions
+        assert np.allclose(t, t[swap][:, swap], atol=1e-9)
+        e = hmm.emissions.reshape(5, 4, 4)
+        assert np.allclose(e, e[swap].transpose(0, 2, 1), atol=1e-9)
+    hist = result.likelihood_history
+    assert all(b >= a - 1e-2 for a, b in zip(hist, hist[1:])), hist

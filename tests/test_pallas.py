@@ -60,3 +60,18 @@ def test_pallas_with_guide_path(rng):
                        atol=1e-3)
     assert np.allclose(np.asarray(post), np.asarray(ref.posteriors),
                        atol=2e-4)
+
+
+def test_specialised_matches_dynamic(rng):
+    from marginalign_trna_tpu.ops.fb_pallas import (
+        posteriors_pallas_specialised,
+    )
+
+    hmm, batch = _mixed_batch(rng)
+    tables = make_tables(hmm)
+    dev = device_batch(batch)
+    logZ_d, post_d = posteriors_pallas(tables, dev)
+    logZ_s, post_s = posteriors_pallas_specialised(tables, dev)
+    assert np.allclose(np.asarray(logZ_s)[:3], np.asarray(logZ_d)[:3],
+                       rtol=1e-5, atol=1e-4)
+    assert np.allclose(np.asarray(post_s), np.asarray(post_d), atol=1e-5)
