@@ -50,15 +50,26 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _roll_up(a):
+    """out[k] = a[k+1] (circular; pltpu.roll needs non-negative shifts)."""
+    return pltpu.roll(a, a.shape[0] - 1, axis=0)
+
+
+def _roll_down(a):
+    return pltpu.roll(a, 1, axis=0)
+
+
 def _roll_shift(a, t_is_1, t_is_m1):
     """out[k] = a[k+1] where t==1, a[k-1] where t==-1, else a[k].
-    t_* are boolean [1, B] masks; wrapped rows land in guard rows that the
-    valid mask zeroes.  (pltpu.roll requires non-negative shifts: rolling
-    up by one is a circular roll by Wp-1.)"""
-    wp = a.shape[0]
-    up = pltpu.roll(a, wp - 1, axis=0)
-    down = pltpu.roll(a, 1, axis=0)
-    return jnp.where(t_is_1, up, jnp.where(t_is_m1, down, a))
+    t_* are boolean [1, B] masks (or literal False for statically-impossible
+    branches, which fold away).  Wrapped rows land in guard rows that the
+    valid mask zeroes."""
+    out = a
+    if t_is_m1 is not False:
+        out = jnp.where(t_is_m1, _roll_down(a), out)
+    if t_is_1 is not False:
+        out = jnp.where(t_is_1, _roll_up(a), out)
+    return out
 
 
 def static_tables(tables: FbTables):
@@ -68,6 +79,18 @@ def static_tables(tables: FbTables):
     eg = np.asarray(tables.Egap, np.float32)
     tup = lambda a: tuple(tuple(float(v) for v in row) for row in a)
     return (tup(t), tup(em), tup(eg))
+
+
+def _flat_gap_consts(st) -> Optional[Tuple[float, float, float, float]]:
+    """Per-gap-state constant emission values when every gap row is flat
+    (true for all shipped/normalised models), else None."""
+    consts = []
+    for s in range(1, _NSTATE):
+        row = st[2][s]
+        if len(set(row)) != 1:
+            return None
+        consts.append(row[0])
+    return tuple(consts)
 
 
 class _TableView:
@@ -210,10 +233,10 @@ def _fwd_body(
         new[0] = e_match * _roll_shift(mix_m, s2 == 2, s2 == 0) * valid
         for s in (1, 3):  # X-gap: shift t = s1 in {0, 1}
             new[s] = e_gap[s] * _roll_shift(
-                mix_g[s - 1], s1 == 1, s1 == _NEVER) * valid
+                mix_g[s - 1], s1 == 1, False) * valid
         for s in (2, 4):  # Y-gap: shift t = s1 - 1 in {-1, 0}
             new[s] = e_gap[s] * _roll_shift(
-                mix_g[s - 1], s1 == _NEVER, s1 == 0) * valid
+                mix_g[s - 1], False, s1 == 0) * valid
 
         fmax = _max5(new).max(axis=0, keepdims=True)  # [1, B]
         c = jnp.where(fmax > 0, fmax, 1.0)
@@ -423,9 +446,9 @@ def _bwd_body(
         # Match target at d+2 (b2 is one scale step behind b1).
         q[0] = _roll_shift(e_match2 * b2[0], s2n == 0, s2n == 2) / cprev
         for s in (1, 3):  # X-gap at d+1: shift t = -s1n in {-1, 0}
-            q[s] = _roll_shift(e_gap1[s] * b1[s], s1n == _NEVER, s1n == 1)
+            q[s] = _roll_shift(e_gap1[s] * b1[s], False, s1n == 1)
         for s in (2, 4):  # Y-gap at d+1: shift t = 1 - s1n in {0, 1}
-            q[s] = _roll_shift(e_gap1[s] * b1[s], s1n == 0, s1n == _NEVER)
+            q[s] = _roll_shift(e_gap1[s] * b1[s], s1n == 0, False)
 
         kidx = jax.lax.broadcasted_iota(jnp.int32, q[0].shape, 0)
         inj = jnp.where(
@@ -594,6 +617,9 @@ def posteriors_pallas(
 
 @functools.partial(jax.jit, static_argnames=("st",))
 def _posteriors_pallas_static(st, batch: DeviceBatch):
+    gc = _flat_gap_consts(st)
+    if gc is not None:
+        return _posteriors_pre(st, gc, batch)
     fwd = _run_forward(None, batch, st)
     post = _run_backward(None, batch, fwd, st)
     return fwd.logZ, post
@@ -603,5 +629,301 @@ def posteriors_pallas_specialised(
     tables: FbTables, batch: DeviceBatch
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Model-specialised FB: tables baked as constants (recompiles per
-    model; intended for serving where the model is fixed)."""
+    model; intended for serving where the model is fixed).  For models with
+    flat gap emissions (all shipped/normalised ones) the match emissions are
+    precomputed in a parallel XLA pass and gap emissions fold into the
+    transition constants, cutting the sequential kernels' per-cell work."""
     return _posteriors_pallas_static(static_tables(tables), batch)
+
+
+# --------------------- precomputed-emission specialisation (flat gaps) ----
+
+
+def _precompute_ematch(st, xb, yb):
+    """[D, Wp, B] f32 match emissions, one vectorised (parallel) pass."""
+    em = jnp.asarray(np.asarray(st[1], np.float32))  # [5, 5]
+    out = jnp.zeros(xb.shape, jnp.float32)
+    xi = xb.astype(jnp.int32)
+    yi = yb.astype(jnp.int32)
+    for a in range(5):
+        row = None
+        for c in range(5):
+            v = float(st[1][a][c])
+            if v == 0.0:
+                continue
+            term = jnp.where(yi == c, v, 0.0)
+            row = term if row is None else row + term
+        if row is not None:
+            out = out + jnp.where(xi == a, row, 0.0)
+    return out
+
+
+def _make_fwd_kernel_pre(st, gc):
+    T = st[0]
+
+    def kernel(
+        em_ref, valid_ref, s1_ref, s2_ref, fink_ref,
+        fm_out_ref, lsf_ref, term_ref,
+        f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
+        ls_ref, cprev_ref,
+    ):
+        f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
+        f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            zero = jnp.zeros_like(f1_refs[0][:, :])
+            row0 = jax.lax.broadcasted_iota(jnp.int32, zero.shape, 0) == 0
+            init = jnp.where(row0, 0.2, 0.0)
+            for s in range(_NSTATE):
+                f1_refs[s][:, :] = init
+                f2_refs[s][:, :] = zero
+            ls_ref[:, :] = jnp.zeros_like(ls_ref)
+            cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+
+        f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
+        f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
+        ls = ls_ref[:, :]
+        cprev = cprev_ref[:, :]
+        zero_arr = jnp.zeros_like(f1[0])
+
+        def mix(vals, t, coeff=1.0):
+            acc = None
+            for s in range(_NSTATE):
+                v = T[s][t] * coeff
+                if v == 0.0:
+                    continue
+                term = vals[s] * v
+                acc = term if acc is None else acc + term
+            return acc if acc is None else acc
+
+        for kb in range(STEP_BLOCK):
+            e_match = em_ref[kb]
+            valid = valid_ref[kb].astype(jnp.float32)
+            s1 = s1_ref[kb]
+            s2 = s2_ref[kb]
+
+            mix_m = mix(f2, 0)
+            mix_m = (mix_m if mix_m is not None else zero_arr) / cprev
+            # Gap emission constants fold into the transition coefficients.
+            mix_g = [mix(f1, t, gc[t - 1]) for t in range(1, _NSTATE)]
+            mix_g = [m if m is not None else zero_arr for m in mix_g]
+
+            new = [None] * _NSTATE
+            new[0] = e_match * _roll_shift(mix_m, s2 == 2, s2 == 0) * valid
+            for s in (1, 3):
+                new[s] = _roll_shift(
+                    mix_g[s - 1], s1 == 1, False) * valid
+            for s in (2, 4):
+                new[s] = _roll_shift(
+                    mix_g[s - 1], False, s1 == 0) * valid
+
+            fmax = _max5(new).max(axis=0, keepdims=True)
+            c = jnp.where(fmax > 0, fmax, 1.0)
+            inv_c = 1.0 / c
+
+            kidx = jax.lax.broadcasted_iota(jnp.int32, new[0].shape, 0)
+            sel = (kidx == fink_ref[kb]).astype(jnp.float32)
+            term = (_sum5(new) * sel).sum(axis=0, keepdims=True) * inv_c
+            scaled = [new[s] * inv_c for s in range(_NSTATE)]
+
+            if kb == 0:
+                is_first = i == 0
+                f1_next = [jnp.where(is_first, f1[s], scaled[s])
+                           for s in range(_NSTATE)]
+                f2_next = [jnp.where(is_first, f2[s], f1[s])
+                           for s in range(_NSTATE)]
+                ls = jnp.where(is_first, ls, ls + jnp.log(c))
+                cprev = jnp.where(is_first, cprev, c)
+                term = jnp.where(
+                    is_first,
+                    (_sum5(f1) * sel).sum(axis=0, keepdims=True), term,
+                )
+            else:
+                f1_next = scaled
+                f2_next = f1
+                ls = ls + jnp.log(c)
+                cprev = c
+
+            fm_out_ref[kb] = f1_next[0]
+            lsf_ref[kb] = ls
+            term_ref[kb] = term
+            f1, f2 = f1_next, f2_next
+
+        for s in range(_NSTATE):
+            f1_refs[s][:, :] = f1[s]
+            f2_refs[s][:, :] = f2[s]
+        ls_ref[:, :] = ls
+        cprev_ref[:, :] = cprev
+
+    return kernel
+
+
+def _make_bwd_kernel_pre(st, gc):
+    T = st[0]
+
+    def kernel(
+        fm_ref, lsf_ref, valid_ref, em2_ref, s1n_ref, s2n_ref,
+        fink_ref, find_ref, logZ_ref,
+        post_ref,
+        b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
+        bls_ref, cprev_ref,
+    ):
+        b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
+        b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
+        i = pl.program_id(0)
+        K = STEP_BLOCK
+
+        @pl.when(i == 0)
+        def _init():
+            zero = jnp.zeros_like(b1_refs[0][:, :])
+            for s in range(_NSTATE):
+                b1_refs[s][:, :] = zero
+                b2_refs[s][:, :] = zero
+            bls_ref[:, :] = jnp.zeros_like(bls_ref)
+            cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+
+        b1 = [b1_refs[s][:, :] for s in range(_NSTATE)]
+        b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
+        bls = bls_ref[:, :]
+        cprev = cprev_ref[:, :]
+        logZ = logZ_ref[:, :]
+
+        blk_base = (pl.num_programs(0) - 1 - i) * K
+        for t in range(K):
+            kb = K - 1 - t
+            d = blk_base + kb
+
+            valid = valid_ref[kb].astype(jnp.float32)
+            s1n = s1n_ref[kb]
+            s2n = s2n_ref[kb]
+
+            q = [None] * _NSTATE
+            q[0] = _roll_shift(em2_ref[kb] * b2[0], s2n == 0, s2n == 2) \
+                / cprev
+            for s in (1, 3):
+                q[s] = _roll_shift(b1[s], False, s1n == 1)
+            for s in (2, 4):
+                q[s] = _roll_shift(b1[s], s1n == 0, False)
+
+            kidx = jax.lax.broadcasted_iota(jnp.int32, q[0].shape, 0)
+            inj = jnp.where(
+                (kidx == fink_ref[kb]) & (d == find_ref[kb]), 1.0, 0.0
+            )
+
+            zero_arr = jnp.zeros_like(q[0])
+            new = [None] * _NSTATE
+            for s in range(_NSTATE):
+                acc = None
+                for u in range(_NSTATE):
+                    # Gap emission constants fold into the coefficients.
+                    v = T[s][u] * (1.0 if u == 0 else gc[u - 1])
+                    if v == 0.0:
+                        continue
+                    term = q[u] * v
+                    acc = term if acc is None else acc + term
+                if acc is None:
+                    acc = zero_arr
+                new[s] = (acc + inj) * valid
+
+            bmax = _max5(new).max(axis=0, keepdims=True)
+            c = jnp.where(bmax > 0, bmax, 1.0)
+            inv_c = 1.0 / c
+            bls = bls + jnp.log(c)
+            cprev = c
+
+            alpha = jnp.exp(lsf_ref[kb] + bls - logZ)
+            post_ref[kb] = fm_ref[kb] * (new[0] * inv_c) * alpha
+
+            b2 = b1
+            b1 = [new[s] * inv_c for s in range(_NSTATE)]
+
+        for s in range(_NSTATE):
+            b1_refs[s][:, :] = b1[s]
+            b2_refs[s][:, :] = b2[s]
+        bls_ref[:, :] = bls
+        cprev_ref[:, :] = cprev
+
+    return kernel
+
+
+def _posteriors_pre(st, gc, batch: DeviceBatch):
+    D1, Wp, B = batch.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    xb = _pad_steps(batch.xb, D1K)
+    yb = _pad_steps(batch.yb, D1K)
+    valid = _pad_steps(batch.valid.astype(jnp.int8), D1K)
+    s1 = _pad_steps(batch.s1.astype(jnp.int32), D1K)[:, None, :]
+    s2 = _pad_steps(batch.s2.astype(jnp.int32), D1K)[:, None, :]
+    fink = jnp.broadcast_to(
+        batch.final_k.astype(jnp.int32)[None, None, :], (D1K, 1, B)
+    )
+    find = jnp.broadcast_to(
+        batch.final_d.astype(jnp.int32)[None, None, :], (D1K, 1, B)
+    )
+
+    ematch = _precompute_ematch(st, xb, yb)  # [D1K, Wp, B]
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    scratch = (
+        [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+        + [pltpu.VMEM((1, B), jnp.float32), pltpu.VMEM((1, B), jnp.float32)]
+    )
+
+    fm_out, lsf2, term2 = pl.pallas_call(
+        _make_fwd_kernel_pre(st, gc),
+        grid=(G,),
+        in_specs=[blk3, blk3, blk2, blk2, blk2],
+        out_specs=[blk3, blk2, blk2],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        interpret=_use_interpret(),
+    )(ematch, valid, s1, s2, fink)
+
+    lsf = lsf2[:, 0, :]
+    term = term2[:, 0, :]
+    d_idx = batch.final_d.astype(jnp.int32)
+    b_idx = jnp.arange(B)
+    logZ = (
+        jnp.log(jnp.maximum(term[d_idx, b_idx], 1e-30)) + lsf[d_idx, b_idx]
+    )
+
+    rev3 = pl.BlockSpec((K, Wp, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rev2 = pl.BlockSpec((K, 1, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    em_pad2 = jnp.pad(ematch, [(0, 2), (0, 0), (0, 0)])
+    s1_p = jnp.pad(s1, [(0, 2), (0, 0), (0, 0)])
+    s2_p = jnp.pad(s2, [(0, 2), (0, 0), (0, 0)])
+
+    post = pl.pallas_call(
+        _make_bwd_kernel_pre(st, gc),
+        grid=(G,),
+        in_specs=[rev3, rev2, rev3, rev3, rev2, rev2, rev2, rev2,
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[rev3],
+        out_shape=[jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32)],
+        scratch_shapes=scratch,
+        interpret=_use_interpret(),
+    )(
+        fm_out,
+        lsf2,
+        valid,
+        em_pad2[2 : D1K + 2],  # e_match at d+2
+        s1_p[1 : D1K + 1], s2_p[2 : D1K + 2],
+        fink, find,
+        logZ[None, :],
+    )[0]
+    return logZ, post[:D1]

@@ -1,0 +1,106 @@
+"""Multi-host runtime: distributed init, host sharding, transient retry.
+
+The reference's runtime is jobTree: worker processes on cluster nodes, a
+shared filesystem, and retry-on-failure (README.md:48-52).  The equivalents:
+
+- ``initialize_distributed``: ``jax.distributed.initialize`` wrapper (the
+  comm backend is the JAX runtime itself — ICI within a slice, DCN across
+  hosts; no NCCL/MPI layer to manage).
+- ``shard_for_host``: deterministic split of a job list across hosts; each
+  host packs and processes its own lanes, count tensors merge with psum
+  (see parallel/mesh.py).
+- ``with_retries``: transient-failure wrapper for device calls (the
+  jobTree job-retry analog; useful against flaky interconnect/RPC layers).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Callable, List, Optional, Sequence, TypeVar
+
+logger = logging.getLogger("marginalign.runtime")
+
+T = TypeVar("T")
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialise the multi-host JAX runtime.  No-ops when single-process.
+
+    Arguments default from the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID), so
+    launchers can configure purely through the environment.
+    """
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if coordinator_address is None:
+        return
+    num_processes = num_processes or int(
+        os.environ.get("JAX_NUM_PROCESSES", "1")
+    )
+    process_id = (
+        process_id
+        if process_id is not None
+        else int(os.environ.get("JAX_PROCESS_ID", "0"))
+    )
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    logger.info(
+        "distributed runtime up: process %d/%d, %d local / %d global devices",
+        process_id, num_processes,
+        jax.local_device_count(), jax.device_count(),
+    )
+
+
+def process_index() -> int:
+    import jax
+
+    return jax.process_index()
+
+
+def is_host_zero() -> bool:
+    return process_index() == 0
+
+
+def shard_for_host(items: Sequence[T]) -> List[T]:
+    """This host's strided share of a global work list (deterministic, so
+    every host agrees without communication)."""
+    import jax
+
+    return list(items[jax.process_index() :: jax.process_count()])
+
+
+def with_retries(
+    fn: Callable[[], T],
+    attempts: int = 3,
+    base_delay: float = 1.0,
+    retriable: type = Exception,
+) -> T:
+    """Run fn, retrying transient failures with exponential backoff
+    (the jobTree job-retry analog)."""
+    last: Optional[BaseException] = None
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except retriable as exc:  # noqa: BLE001 - deliberate broad default
+            last = exc
+            if attempt + 1 == attempts:
+                break
+            delay = base_delay * (2**attempt)
+            logger.warning(
+                "transient failure (attempt %d/%d): %s; retrying in %.1fs",
+                attempt + 1, attempts, exc, delay,
+            )
+            time.sleep(delay)
+    assert last is not None
+    raise last

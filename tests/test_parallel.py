@@ -103,3 +103,27 @@ def test_em_step_improves_likelihood(mesh, rng):
 def _hmm_from(t, e):
     h = PairHmm(np.asarray(t, np.float64), np.asarray(e, np.float64))
     return h
+
+
+def test_runtime_helpers():
+    from marginalign_trna_tpu.parallel.runtime import (
+        is_host_zero, shard_for_host, with_retries,
+    )
+
+    assert is_host_zero()  # single-process tests
+    assert shard_for_host([1, 2, 3]) == [1, 2, 3]
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert with_retries(flaky, attempts=4, base_delay=0.01) == "ok"
+    assert calls["n"] == 3
+
+    with pytest.raises(RuntimeError):
+        with_retries(lambda: (_ for _ in ()).throw(RuntimeError("x")),
+                     attempts=2, base_delay=0.01)
