@@ -40,6 +40,13 @@ class EmOptions:
     # Early-exit when the total log-likelihood improves by less than this.
     tolerance: float = 1e-3
     train_emissions: bool = True
+    # Tie short and long gap-state emissions (reference: tieEmissions).
+    tie_emissions: bool = False
+    # Write each trial's trained model to <path>.trial<N> (outputTrialHmms).
+    output_trial_hmms_path: Optional[str] = None
+    # Start emissions at a Jukes-Cantor matrix with this substitution rate
+    # instead of random/flat (reference: setJukesCantorStartingEmissions).
+    jukes_cantor_start: Optional[float] = None
 
 
 @dataclass
@@ -138,6 +145,14 @@ def sample_jobs(
     return out
 
 
+def _tie_gap_emissions(hmm: PairHmm) -> None:
+    """Tie short/long gap-state emissions (average 1<->3 and 2<->4)."""
+    for a, b in ((1, 3), (2, 4)):
+        avg = 0.5 * (hmm.emissions[a] + hmm.emissions[b])
+        hmm.emissions[a] = avg
+        hmm.emissions[b] = avg.copy()
+
+
 def train_em(
     jobs: List[RealignJob],
     options: EmOptions,
@@ -181,13 +196,22 @@ def train_em(
             start_iter = 0
             ll = -np.inf
         hmm.model_type = model_type_code
+        if options.jukes_cantor_start is not None and start_iter == 0:
+            r = options.jukes_cantor_start
+            jc = np.full((4, 4), r / 3.0)
+            np.fill_diagonal(jc, 1.0 - r)
+            hmm.emissions[0] = (jc / jc.sum()).reshape(-1)
         hmm.apply_model_type_constraints()
+        if options.tie_emissions:
+            _tie_gap_emissions(hmm)
         for it in range(start_iter, options.iterations):
             tc, em, eg, new_ll = expectation_step(
                 jobs, buckets, hmm, options.band_width, psum_fn
             )
             hmm = _m_step(hmm, tc, em, eg, options.train_emissions)
             hmm.apply_model_type_constraints()
+            if options.tie_emissions:
+                _tie_gap_emissions(hmm)
             history.append(new_ll)
             if log_fn:
                 log_fn("EM trial %d iter %d log-likelihood %.4f"
@@ -210,6 +234,8 @@ def train_em(
                 break
             ll = new_ll
         hmm.likelihood = ll
+        if options.output_trial_hmms_path:
+            hmm.write("%s.trial%d" % (options.output_trial_hmms_path, trial))
         result = EmTrialResult(hmm=hmm, likelihood=ll,
                                likelihood_history=history)
         if best is None or result.likelihood > best.likelihood:

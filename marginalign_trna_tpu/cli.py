@@ -106,6 +106,15 @@ def margin_align_main(argv=None) -> int:
                    default=50_000_000)
     p.add_argument("--emCheckpoint", default=None,
                    help="Checkpoint file for EM training (resume-capable)")
+    p.add_argument("--outputTrialHmms", action="store_true",
+                   help="Write each EM trial's model to <outputModel>.trialN")
+    p.add_argument("--tieEmissions", action="store_true",
+                   help="Tie short/long gap-state emissions during EM")
+    p.add_argument("--setJukesCantorStartingEmissions", type=float,
+                   default=None, metavar="RATE",
+                   help="Start EM emissions from a Jukes-Cantor matrix")
+    p.add_argument("--outputXMLModelFile", default=None,
+                   help="Also write the trained model as XML")
     p.add_argument("--maxAlignmentLengthPerJob", type=int, default=700_000,
                    help="Accepted for compatibility; batching is automatic")
     _add_ignored_jobtree_options(p)
@@ -150,6 +159,11 @@ def margin_align_main(argv=None) -> int:
                 iterations=args.iterations,
                 random_start=not args.noRandomStart,
                 max_alignment_length_to_sample=args.maxAlignmentLengthToSample,
+                tie_emissions=args.tieEmissions,
+                output_trial_hmms_path=(
+                    args.outputModel if args.outputTrialHmms else None
+                ),
+                jukes_cantor_start=args.setJukesCantorStartingEmissions,
             )
             best = train_em(jobs, opts, input_hmm=hmm,
                             log_fn=lambda s: print(s, file=sys.stderr),
@@ -158,6 +172,8 @@ def margin_align_main(argv=None) -> int:
             hmm.likelihood = best.likelihood
             if args.outputModel:
                 hmm.write(args.outputModel)
+            if args.outputXMLModelFile:
+                hmm.write_xml(args.outputXMLModelFile)
             if tmp2 is not None:
                 os.unlink(tmp2.name)
 

@@ -62,6 +62,19 @@ def get_fasta_dictionary(path: str) -> Dict[str, str]:
     return out
 
 
+def make_fasta_names_unique(input_path: str, output_path: str) -> str:
+    """Append 'i' to duplicated first-word names
+    (reference: makeFastaSequenceNamesUnique, src/margin/utils.py:77-89)."""
+    names = set()
+    with open(output_path, "w") as fh:
+        for name, seq in fasta_read(input_path):
+            while name in names:
+                name += "i"
+            names.add(name)
+            fasta_write(fh, name, seq)
+    return output_path
+
+
 def _as_handle(path_or_handle, mode: str) -> Tuple[TextIO, bool]:
     if isinstance(path_or_handle, (str, os.PathLike)):
         return open(path_or_handle, mode), True

@@ -216,6 +216,32 @@ class PairHmm:
         e = self.emissions[MATCH_STATE].reshape(SYMBOL_NUMBER, SYMBOL_NUMBER)
         self.emissions[MATCH_STATE] = (e @ n).reshape(-1)
 
+    def write_xml(self, path: str) -> None:
+        """XML model dump (reference surface: cPecanEm outputXMLModelFile,
+        marginAlign.py:48)."""
+        import xml.etree.ElementTree as ET
+
+        root = ET.Element("hmm", {
+            "type": str(self.model_type),
+            "stateNumber": str(self.native_state_number),
+            "likelihood": repr(float(self.likelihood)),
+        })
+        t = ET.SubElement(root, "transitions")
+        n = self.native_state_number
+        for a in range(n):
+            for b in range(n):
+                ET.SubElement(t, "t", {
+                    "from": str(a), "to": str(b),
+                    "prob": repr(float(self.transitions[a, b])),
+                })
+        e = ET.SubElement(root, "emissions")
+        for s in range(n):
+            ET.SubElement(e, "state", {
+                "id": str(s),
+                "probs": " ".join(repr(float(v)) for v in self.emissions[s]),
+            })
+        ET.ElementTree(root).write(path)
+
     def apply_model_type_constraints(self) -> None:
         """Project the parameters onto the model family's constraint set
         (reference: cPecanEm modelType in {fiveState, fiveStateAsymmetric,

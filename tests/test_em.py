@@ -155,3 +155,24 @@ def test_em_model_families(rng, model_type, tmp_path):
         assert np.allclose(e, e[swap].transpose(0, 2, 1), atol=1e-9)
     hist = result.likelihood_history
     assert all(b >= a - 1e-2 for a, b in zip(hist, hist[1:])), hist
+
+
+def test_em_option_surface(rng, tmp_path):
+    """outputTrialHmms / tieEmissions / Jukes-Cantor starts / XML dump."""
+    jobs = _synthetic_jobs(rng, n_pairs=4, length=30)
+    trial_path = str(tmp_path / "out.hmm")
+    opts = EmOptions(trials=2, iterations=2, band_width=15, seed=6,
+                     tie_emissions=True, output_trial_hmms_path=trial_path,
+                     jukes_cantor_start=0.3, tolerance=0.0)
+    result = train_em(jobs, opts)
+    assert os.path.exists(trial_path + ".trial0")
+    assert os.path.exists(trial_path + ".trial1")
+    hmm = result.hmm
+    assert np.allclose(hmm.emissions[1], hmm.emissions[3])
+    assert np.allclose(hmm.emissions[2], hmm.emissions[4])
+    xml_path = str(tmp_path / "m.xml")
+    hmm.write_xml(xml_path)
+    import xml.etree.ElementTree as ET
+    root = ET.parse(xml_path).getroot()
+    assert root.tag == "hmm"
+    assert len(root.find("transitions")) == 25
