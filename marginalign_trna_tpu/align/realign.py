@@ -106,8 +106,13 @@ def realigned_ops_for_jobs(
         paths = [jobs[i].path for i in bucket]
         batch = pack_banded_batch(reads, refs, width=band_width, paths=paths,
                                   quantize=True)
-        _, post_dev = fb_posteriors(tables, device_batch(batch))
-        post = np.asarray(post_dev)
+        from ..parallel.runtime import with_retries
+
+        def _run(b=batch):
+            _, post_dev = fb_posteriors(tables, device_batch(b))
+            return np.asarray(post_dev)
+
+        post = with_retries(_run)
         ops_list = mea_decode(post, batch, gap_gamma, match_gamma)
         for local_b, job_idx in enumerate(bucket):
             results[job_idx] = ops_list[local_b]

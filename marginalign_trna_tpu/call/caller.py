@@ -75,8 +75,13 @@ def accumulate_expectations(
             paths=[jobs[i].path for i in bucket],
             quantize=True,
         )
-        _, post_dev = fb_posteriors(tables, device_batch(batch))
-        post = np.asarray(post_dev)  # [D1, Wp, Bpad]
+        from ..parallel.runtime import with_retries
+
+        def _run(b=batch):
+            _, post_dev = fb_posteriors(tables, device_batch(b))
+            return np.asarray(post_dev)
+
+        post = with_retries(_run)  # [D1, Wp, Bpad]
         ks = np.arange(batch.wp)
         for local_b, job_idx in enumerate(bucket):
             job = jobs[job_idx]
