@@ -54,9 +54,12 @@ def main():
     def run():
         logZ, post = fb_posteriors(tables, dev)
         # Force a device->host transfer: block_until_ready alone does not
-        # reliably block on remote-execution PJRT backends.
-        np.asarray(logZ)
-        return post
+        # reliably block on remote-execution PJRT backends.  Drop the
+        # buffers before returning so back-to-back runs don't hold two
+        # generations of multi-GB outputs (device OOM).
+        out = float(np.asarray(logZ).sum())
+        del logZ, post
+        return out
 
     run()  # compile + warm up
     t0 = time.perf_counter()
