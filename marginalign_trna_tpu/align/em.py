@@ -114,13 +114,16 @@ def expectation_step(
             paths=[jobs[i].path for i in bucket],
             quantize=True,
         )
-        res = forward_backward(
-            tables, device_batch(batch), want_posteriors=False, want_counts=True
+        from ..ops.dispatch import fb_counts
+        from ..parallel.runtime import with_retries
+
+        logZ, tc_b, em_b, eg_b = with_retries(
+            lambda b=batch: fb_counts(tables, device_batch(b))
         )
-        tc += np.asarray(res.trans_counts, dtype=np.float64)
-        em += np.asarray(res.emit_match, dtype=np.float64)
-        eg += np.asarray(res.emit_gap, dtype=np.float64)
-        total_ll += float(np.sum(np.asarray(res.logZ)[: len(bucket)]))
+        tc += np.asarray(tc_b, dtype=np.float64)
+        em += np.asarray(em_b, dtype=np.float64)
+        eg += np.asarray(eg_b, dtype=np.float64)
+        total_ll += float(np.sum(np.asarray(logZ)[: len(bucket)]))
     if psum_fn is not None:
         tc, em, eg, total_ll = psum_fn(tc, em, eg, total_ll)
     return tc, em, eg, total_ll

@@ -37,3 +37,20 @@ def fb_posteriors(
         tables, batch, want_posteriors=True, want_counts=False
     )
     return res.logZ, res.posteriors
+
+
+def fb_counts(tables: FbTables, batch: DeviceBatch):
+    """(logZ [B], trans_counts [5,5], emit_match [5,5], emit_gap [5,5]) via
+    the active kernel (EM E-step)."""
+    if use_pallas():
+        from .fb_pallas_counts import (
+            counts_pallas, match_counts_from_posteriors,
+        )
+
+        res = counts_pallas(tables, batch)
+        em = match_counts_from_posteriors(res.posteriors, batch)
+        return res.logZ, res.trans_counts, em, res.emit_gap
+    res = forward_backward(
+        tables, batch, want_posteriors=False, want_counts=True
+    )
+    return res.logZ, res.trans_counts, res.emit_match, res.emit_gap

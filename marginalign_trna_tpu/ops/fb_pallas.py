@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .fb import DeviceBatch, FbTables
 
 _NSTATE = 5
-STEP_BLOCK = 8  # anti-diagonals per grid step
+STEP_BLOCK = int(__import__("os").environ.get("MARGINALIGN_STEP_BLOCK", "8"))
+# anti-diagonals per grid step (kernel unroll factor)
 _NEVER = 99     # sentinel compare value that never matches s1/s2
 
 

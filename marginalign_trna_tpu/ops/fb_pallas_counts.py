@@ -1,0 +1,398 @@
+"""Pallas kernels for Baum-Welch expected counts (the EM E-step).
+
+Unlike the posterior path (fb_pallas.py), EM needs expected transition
+counts and per-state emission counts, and the model changes every
+iteration, so tables stay dynamic VMEM inputs (one compile for the whole
+training run).
+
+Design:
+  - forward stores all five scaled state frontiers to HBM
+    ([D1K, 5, Wp, B] blocks);
+  - backward accumulates, in VMEM scratch, the per-(from,to) transition
+    partials  sum_k F_hat[s] * q_hat[t] * alpha  reduced over the band and
+    kept per-lane ([25 rows, B]); gap-state occupancy-by-code partials are
+    accumulated the same way ([4*5 rows, B]); the match-emission counts are
+    reduced outside the kernel from the posterior band (one parallel XLA
+    einsum);
+  - the host multiplies transition partials by T and sums over lanes.
+
+Validated against the XLA engine / numpy oracle in tests/test_pallas.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fb import DeviceBatch, FbTables
+from .fb_pallas import (
+    STEP_BLOCK, _TableView, _emissions, _max5, _mix, _pad_steps, _roll_shift,
+    _sum5, _use_interpret,
+)
+
+_NSTATE = 5
+
+
+def _fwd_all_kernel(
+    xb_ref, yb_ref, valid_ref, s1_ref, s2_ref, fink_ref,
+    T_ref, Em_ref, Eg_ref,
+    f_out_ref, lsf_ref, term_ref,
+    f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
+    ls_ref, cprev_ref,
+):
+    T = _TableView.from_ref(T_ref)
+    Em = _TableView.from_ref(Em_ref)
+    Eg = _TableView.from_ref(Eg_ref)
+    f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
+    f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        zero = jnp.zeros_like(f1_refs[0][:, :])
+        row0 = jax.lax.broadcasted_iota(jnp.int32, zero.shape, 0) == 0
+        init = jnp.where(row0, 0.2, 0.0)
+        for s in range(_NSTATE):
+            f1_refs[s][:, :] = init
+            f2_refs[s][:, :] = zero
+        ls_ref[:, :] = jnp.zeros_like(ls_ref)
+        cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+
+    f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
+    f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
+    ls = ls_ref[:, :]
+    cprev = cprev_ref[:, :]
+    zero_arr = jnp.zeros_like(f1[0])
+
+    for kb in range(STEP_BLOCK):
+        xb = xb_ref[kb].astype(jnp.int32)
+        yb = yb_ref[kb].astype(jnp.int32)
+        valid = valid_ref[kb].astype(jnp.float32)
+        s1 = s1_ref[kb]
+        s2 = s2_ref[kb]
+
+        e_match, e_gap = _emissions(Em, Eg, xb, yb)
+
+        mix_m = _mix(T, f2, 0, zero_arr) / cprev
+        mix_g = [_mix(T, f1, t, zero_arr) for t in range(1, _NSTATE)]
+
+        new = [None] * _NSTATE
+        new[0] = e_match * _roll_shift(mix_m, s2 == 2, s2 == 0) * valid
+        for s in (1, 3):
+            new[s] = e_gap[s] * _roll_shift(
+                mix_g[s - 1], s1 == 1, False) * valid
+        for s in (2, 4):
+            new[s] = e_gap[s] * _roll_shift(
+                mix_g[s - 1], False, s1 == 0) * valid
+
+        fmax = _max5(new).max(axis=0, keepdims=True)
+        c = jnp.where(fmax > 0, fmax, 1.0)
+        inv_c = 1.0 / c
+
+        kidx = jax.lax.broadcasted_iota(jnp.int32, new[0].shape, 0)
+        sel = (kidx == fink_ref[kb]).astype(jnp.float32)
+        term = (_sum5(new) * sel).sum(axis=0, keepdims=True) * inv_c
+        scaled = [new[s] * inv_c for s in range(_NSTATE)]
+
+        if kb == 0:
+            is_first = i == 0
+            f1_next = [jnp.where(is_first, f1[s], scaled[s])
+                       for s in range(_NSTATE)]
+            f2_next = [jnp.where(is_first, f2[s], f1[s])
+                       for s in range(_NSTATE)]
+            ls = jnp.where(is_first, ls, ls + jnp.log(c))
+            cprev = jnp.where(is_first, cprev, c)
+            term = jnp.where(
+                is_first, (_sum5(f1) * sel).sum(axis=0, keepdims=True), term
+            )
+        else:
+            f1_next = scaled
+            f2_next = f1
+            ls = ls + jnp.log(c)
+            cprev = c
+
+        for s in range(_NSTATE):
+            f_out_ref[kb, s] = f1_next[s]
+        lsf_ref[kb] = ls
+        term_ref[kb] = term
+        f1, f2 = f1_next, f2_next
+
+    for s in range(_NSTATE):
+        f1_refs[s][:, :] = f1[s]
+        f2_refs[s][:, :] = f2[s]
+    ls_ref[:, :] = ls
+    cprev_ref[:, :] = cprev
+
+
+def _bwd_counts_kernel(
+    f_ref, lsf_ref, valid_ref,
+    xb_ref, yb_ref, xb1_ref, yb1_ref, xb2_ref, yb2_ref, s1n_ref, s2n_ref,
+    fink_ref, find_ref,
+    T_ref, Em_ref, Eg_ref, logZ_ref,
+    post_ref, tcp_ref, egp_ref,
+    b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
+    bls_ref, cprev_ref, tca_ref, ega_ref,
+):
+    T = _TableView.from_ref(T_ref)
+    Em = _TableView.from_ref(Em_ref)
+    Eg = _TableView.from_ref(Eg_ref)
+    b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
+    b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
+    i = pl.program_id(0)
+    K = STEP_BLOCK
+
+    @pl.when(i == 0)
+    def _init():
+        zero = jnp.zeros_like(b1_refs[0][:, :])
+        for s in range(_NSTATE):
+            b1_refs[s][:, :] = zero
+            b2_refs[s][:, :] = zero
+        bls_ref[:, :] = jnp.zeros_like(bls_ref)
+        cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+        tca_ref[:, :] = jnp.zeros_like(tca_ref)
+        ega_ref[:, :] = jnp.zeros_like(ega_ref)
+
+    b1 = [b1_refs[s][:, :] for s in range(_NSTATE)]
+    b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
+    bls = bls_ref[:, :]
+    cprev = cprev_ref[:, :]
+    logZ = logZ_ref[:, :]
+    tca = tca_ref[:, :]   # [32, B] rows s*5+t
+    ega = ega_ref[:, :]   # [32, B] rows (s-1)*5+code
+
+    blk_base = (pl.num_programs(0) - 1 - i) * K
+    for t_step in range(K):
+        kb = K - 1 - t_step
+        d = blk_base + kb
+
+        valid = valid_ref[kb].astype(jnp.float32)
+        xb = xb_ref[kb].astype(jnp.int32)
+        yb = yb_ref[kb].astype(jnp.int32)
+        xb1 = xb1_ref[kb].astype(jnp.int32)
+        yb1 = yb1_ref[kb].astype(jnp.int32)
+        xb2 = xb2_ref[kb].astype(jnp.int32)
+        yb2 = yb2_ref[kb].astype(jnp.int32)
+        s1n = s1n_ref[kb]
+        s2n = s2n_ref[kb]
+        f_d = [f_ref[kb, s] for s in range(_NSTATE)]
+
+        e_match2, _ = _emissions(Em, None, xb2, yb2)
+        _, e_gap1 = _emissions(None, Eg, xb1, yb1)
+
+        q = [None] * _NSTATE
+        q[0] = _roll_shift(e_match2 * b2[0], s2n == 0, s2n == 2) / cprev
+        for s in (1, 3):
+            q[s] = _roll_shift(e_gap1[s] * b1[s], False, s1n == 1)
+        for s in (2, 4):
+            q[s] = _roll_shift(e_gap1[s] * b1[s], s1n == 0, False)
+
+        kidx = jax.lax.broadcasted_iota(jnp.int32, q[0].shape, 0)
+        inj = jnp.where(
+            (kidx == fink_ref[kb]) & (d == find_ref[kb]), 1.0, 0.0
+        )
+
+        zero_arr = jnp.zeros_like(q[0])
+        new = [None] * _NSTATE
+        for s in range(_NSTATE):
+            acc = None
+            for u in range(_NSTATE):
+                term = q[u] * T[s][u]
+                acc = term if acc is None else acc + term
+            new[s] = (acc + inj) * valid
+
+        bmax = _max5(new).max(axis=0, keepdims=True)
+        c = jnp.where(bmax > 0, bmax, 1.0)
+        inv_c = 1.0 / c
+        bls = bls + jnp.log(c)
+        cprev = c
+
+        alpha0 = jnp.exp(lsf_ref[kb] + bls - logZ)   # for gamma at d
+        alpha1 = alpha0 * inv_c                      # for q (scale bls[d+1])
+
+        post_ref[kb] = f_d[0] * (new[0] * inv_c) * alpha0
+
+        # Transition partials: rows s*5+u accumulate
+        #   sum_k F_hat[s] * q_hat[u] (alpha applied; T factor on host).
+        rows = []
+        for s in range(_NSTATE):
+            fs = f_d[s] * alpha1
+            for u in range(_NSTATE):
+                rows.append((fs * q[u]).sum(axis=0, keepdims=True))
+        rows += [jnp.zeros_like(rows[0])] * (32 - len(rows))
+        tca = tca + jnp.concatenate(rows, axis=0)
+
+        # Gap-state occupancy-by-code partials (match handled from the
+        # posterior band outside).  Row (s-1)*5 + code.  The d=0 boundary
+        # cell holds the start distribution and emits nothing.
+        not_boundary = jnp.where(d == 0, 0.0, 1.0)
+        grows = []
+        for s in range(1, _NSTATE):
+            gamma_s = f_d[s] * (new[s] * inv_c) * (alpha0 * not_boundary)
+            basis = xb if s in (1, 3) else yb
+            for code in range(5):
+                m = jnp.where(basis == code, gamma_s, 0.0)
+                grows.append(m.sum(axis=0, keepdims=True))
+        grows += [jnp.zeros_like(grows[0])] * (32 - len(grows))
+        ega = ega + jnp.concatenate(grows, axis=0)
+
+        b2 = b1
+        b1 = [new[s] * inv_c for s in range(_NSTATE)]
+
+    for s in range(_NSTATE):
+        b1_refs[s][:, :] = b1[s]
+        b2_refs[s][:, :] = b2[s]
+    bls_ref[:, :] = bls
+    cprev_ref[:, :] = cprev
+    tca_ref[:, :] = tca
+    ega_ref[:, :] = ega
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _emit():
+        tcp_ref[0] = tca_ref[:, :]
+        egp_ref[0] = ega_ref[:, :]
+
+
+class CountsResult(NamedTuple):
+    logZ: jnp.ndarray         # [B]
+    posteriors: jnp.ndarray   # [D1, Wp, B] match posteriors
+    trans_counts: jnp.ndarray  # [5, 5]
+    emit_gap: jnp.ndarray      # [5, 5] (state, code); row 0 zero
+
+
+@jax.jit
+def counts_pallas(tables: FbTables, batch: DeviceBatch) -> CountsResult:
+    D1, Wp, B = batch.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    xb = _pad_steps(batch.xb, D1K)
+    yb = _pad_steps(batch.yb, D1K)
+    valid = _pad_steps(batch.valid.astype(jnp.int8), D1K)
+    s1 = _pad_steps(batch.s1.astype(jnp.int32), D1K)[:, None, :]
+    s2 = _pad_steps(batch.s2.astype(jnp.int32), D1K)[:, None, :]
+    fink = jnp.broadcast_to(
+        batch.final_k.astype(jnp.int32)[None, None, :], (D1K, 1, B)
+    )
+    find = jnp.broadcast_to(
+        batch.final_d.astype(jnp.int32)[None, None, :], (D1K, 1, B)
+    )
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk4 = pl.BlockSpec((K, _NSTATE, Wp, B), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    f_all, lsf2, term2 = pl.pallas_call(
+        _fwd_all_kernel,
+        grid=(G,),
+        in_specs=[blk3, blk3, blk3, blk2, blk2, blk2, full, full, full],
+        out_specs=[blk4, blk2, blk2],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, _NSTATE, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+            + [pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((1, B), jnp.float32)]
+        ),
+        interpret=_use_interpret(),
+    )(xb, yb, valid, s1, s2, fink, tables.T, tables.Ematch, tables.Egap)
+
+    lsf = lsf2[:, 0, :]
+    term = term2[:, 0, :]
+    d_idx = batch.final_d.astype(jnp.int32)
+    b_idx = jnp.arange(B)
+    logZ = (
+        jnp.log(jnp.maximum(term[d_idx, b_idx], 1e-30)) + lsf[d_idx, b_idx]
+    )
+
+    pad2 = lambda a: jnp.pad(
+        _pad_steps(a, D1K), [(0, 2)] + [(0, 0)] * (a.ndim - 1)
+    )
+    xb_p, yb_p = pad2(batch.xb), pad2(batch.yb)
+    s1_p = pad2(batch.s1.astype(jnp.int32))[:, None, :]
+    s2_p = pad2(batch.s2.astype(jnp.int32))[:, None, :]
+
+    rev3 = pl.BlockSpec((K, Wp, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rev4 = pl.BlockSpec((K, _NSTATE, Wp, B), lambda i: (G - 1 - i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rev2 = pl.BlockSpec((K, 1, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    last_blk = pl.BlockSpec((1, 32, B), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    post, tcp, egp = pl.pallas_call(
+        _bwd_counts_kernel,
+        grid=(G,),
+        in_specs=[
+            rev4, rev2, rev3,
+            rev3, rev3,           # xb, yb at d
+            rev3, rev3,           # at d+1
+            rev3, rev3,           # at d+2
+            rev2, rev2,           # s1(d+1), s2(d+2)
+            rev2, rev2,           # fink, find
+            full, full, full, full,
+        ],
+        out_specs=[rev3, last_blk, last_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, 32, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, 32, B), jnp.float32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+            + [pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((32, B), jnp.float32),
+               pltpu.VMEM((32, B), jnp.float32)]
+        ),
+        interpret=_use_interpret(),
+    )(
+        f_all,
+        lsf2,
+        valid,
+        xb, yb,
+        xb_p[1 : D1K + 1], yb_p[1 : D1K + 1],
+        xb_p[2 : D1K + 2], yb_p[2 : D1K + 2],
+        s1_p[1 : D1K + 1], s2_p[2 : D1K + 2],
+        fink, find,
+        tables.T, tables.Ematch, tables.Egap,
+        logZ[None, :],
+    )
+
+    tc = (tcp[0, :25].sum(axis=1).reshape(5, 5)) * tables.T
+    eg_rows = egp[0, :20].sum(axis=1).reshape(4, 5)
+    emit_gap = jnp.concatenate([jnp.zeros((1, 5)), eg_rows], axis=0)
+    return CountsResult(
+        logZ=logZ, posteriors=post[:D1], trans_counts=tc, emit_gap=emit_gap
+    )
+
+
+def match_counts_from_posteriors(
+    post: jnp.ndarray, batch: DeviceBatch
+) -> jnp.ndarray:
+    """[5, 5] match emission counts from the posterior band: one parallel
+    XLA reduction (excludes the d=0 boundary, which carries no emission)."""
+    D1 = post.shape[0]
+    mask = jnp.arange(D1)[:, None, None] > 0
+    p = jnp.where(mask, post, 0.0)
+    out = jnp.zeros((5, 5), jnp.float32)
+    xi = batch.xb[:D1].astype(jnp.int32)
+    yi = batch.yb[:D1].astype(jnp.int32)
+    for a in range(5):
+        pa = jnp.where(xi == a, p, 0.0)
+        for cc in range(5):
+            out = out.at[a, cc].set(jnp.where(yi == cc, pa, 0.0).sum())
+    return out

@@ -75,3 +75,27 @@ def test_specialised_matches_dynamic(rng):
     assert np.allclose(np.asarray(logZ_s)[:3], np.asarray(logZ_d)[:3],
                        rtol=1e-5, atol=1e-4)
     assert np.allclose(np.asarray(post_s), np.asarray(post_d), atol=1e-5)
+
+
+def test_counts_pallas_matches_engine(rng):
+    from marginalign_trna_tpu.ops.fb_pallas_counts import (
+        counts_pallas, match_counts_from_posteriors,
+    )
+
+    hmm, batch = _mixed_batch(rng)
+    tables = make_tables(hmm)
+    dev = device_batch(batch)
+    ref = forward_backward(tables, dev, want_posteriors=True,
+                           want_counts=True)
+    res = counts_pallas(tables, dev)
+    assert np.allclose(np.asarray(res.logZ)[:3], np.asarray(ref.logZ)[:3],
+                       rtol=1e-4, atol=1e-4)
+    assert np.allclose(np.asarray(res.posteriors),
+                       np.asarray(ref.posteriors), atol=2e-4)
+    assert np.allclose(np.asarray(res.trans_counts),
+                       np.asarray(ref.trans_counts), rtol=1e-3, atol=1e-3)
+    assert np.allclose(np.asarray(res.emit_gap),
+                       np.asarray(ref.emit_gap), rtol=1e-3, atol=1e-3)
+    em = match_counts_from_posteriors(res.posteriors, dev)
+    assert np.allclose(np.asarray(em), np.asarray(ref.emit_match),
+                       rtol=1e-3, atol=1e-3)
