@@ -60,6 +60,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.chain_seeds.argtypes = [
         p(i64), p(i64), i64, i64, i64, p(i64), i64,
     ]
+    lib.pack_band_lane.restype = None
+    lib.pack_band_lane.argtypes = [
+        p(ctypes.c_int8), i64, p(ctypes.c_int8), i64,
+        p(ctypes.c_int32), i64,
+        i64, i64, i64, i64,
+        p(ctypes.c_int8), p(ctypes.c_int8), p(ctypes.c_uint8),
+    ]
     _lib = lib
     return _lib
 
@@ -123,6 +130,39 @@ def mea_traceback(
     if cnt < 0:
         return None
     return _rle(out[:cnt])
+
+
+def pack_band_lane(
+    read_codes: np.ndarray,
+    ref_codes: np.ndarray,
+    lo: np.ndarray,
+    width: int,
+    xb: np.ndarray,
+    yb: np.ndarray,
+    valid: np.ndarray,
+    lane: int,
+) -> bool:
+    """Fill one lane of the [D1, Wp, B] banded arrays.  Returns False when
+    the native library is unavailable (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None:
+        return False
+    d1, wp, b = xb.shape
+    assert xb.flags.c_contiguous and yb.flags.c_contiguous
+    assert valid.flags.c_contiguous and valid.dtype == np.bool_
+    read_codes = np.ascontiguousarray(read_codes, dtype=np.int8)
+    ref_codes = np.ascontiguousarray(ref_codes, dtype=np.int8)
+    lo32 = np.ascontiguousarray(lo, dtype=np.int32)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.pack_band_lane(
+        read_codes.ctypes.data_as(i8p), len(read_codes),
+        ref_codes.ctypes.data_as(i8p), len(ref_codes),
+        lo32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), width,
+        d1, wp, b, lane,
+        xb.ctypes.data_as(i8p), yb.ctypes.data_as(i8p),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return True
 
 
 def chain_seeds(

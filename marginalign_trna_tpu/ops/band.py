@@ -184,6 +184,9 @@ def pack_banded_batch(
     n_arr = np.zeros(B, dtype=np.int32)
 
     ks = np.arange(Wp, dtype=np.int64)[None, :]  # [1, Wp]
+    from .. import native as _native
+
+    use_native = _native.available() and B == xb.shape[2]
 
     for b in range(B0):
         m, n = int(ms[b]), int(ns[b])
@@ -194,23 +197,28 @@ def pack_banded_batch(
         else:
             lo = band_offsets(m, n, width)
 
-        dcol = np.arange(D + 1, dtype=np.int64)[:, None]  # [D+1, 1]
-        i_idx = lo[:, None] + ks  # [D+1, Wp]
-        j_idx = dcol - i_idx
-        ok = (
-            (ks < width)
-            & (i_idx >= 0)
-            & (i_idx <= m)
-            & (i_idx <= dcol)
-            & (j_idx >= 0)
-            & (j_idx <= n)
-        )
-        # Emission symbol indices (clipped; invalid cells are masked anyway).
-        y_sym = np.clip(i_idx - 1, 0, max(0, m - 1))
-        x_sym = np.clip(j_idx - 1, 0, max(0, n - 1))
-        yb[: D + 1, :, b] = reads[b][y_sym] if m > 0 else 4
-        xb[: D + 1, :, b] = refs[b][x_sym] if n > 0 else 4
-        valid[: D + 1, :, b] = ok
+        if use_native and _native.pack_band_lane(
+            reads[b], refs[b], lo, width, xb, yb, valid, b
+        ):
+            pass
+        else:
+            dcol = np.arange(D + 1, dtype=np.int64)[:, None]  # [D+1, 1]
+            i_idx = lo[:, None] + ks  # [D+1, Wp]
+            j_idx = dcol - i_idx
+            ok = (
+                (ks < width)
+                & (i_idx >= 0)
+                & (i_idx <= m)
+                & (i_idx <= dcol)
+                & (j_idx >= 0)
+                & (j_idx <= n)
+            )
+            # Emission symbol indices (invalid cells are masked anyway).
+            y_sym = np.clip(i_idx - 1, 0, max(0, m - 1))
+            x_sym = np.clip(j_idx - 1, 0, max(0, n - 1))
+            yb[: D + 1, :, b] = reads[b][y_sym] if m > 0 else 4
+            xb[: D + 1, :, b] = refs[b][x_sym] if n > 0 else 4
+            valid[: D + 1, :, b] = ok
         lo_all[: D + 1, b] = lo
         lo_all[D + 1 :, b] = lo[-1]
         s1[1 : D + 1, b] = np.diff(lo)

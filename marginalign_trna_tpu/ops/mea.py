@@ -80,6 +80,10 @@ def banded_mea(
     dtype = jnp.float32
 
     a0 = jnp.full((Wp, B), NEG, dtype).at[0, :].set(0.0)
+    term_sel = (
+        jnp.arange(Wp, dtype=jnp.int32)[:, None]
+        == final_k.astype(jnp.int32)[None, :]
+    )
 
     def step(carry, xs):
         a1, a2, delta_prev = carry
@@ -96,7 +100,7 @@ def banded_mea(
 
         delta = jnp.maximum(jnp.max(a_new, axis=0), 0.0)
         a_new = jnp.where(a_new <= NEG / 2, NEG, a_new - delta)
-        term = a_new[final_k, jnp.arange(B)] + delta  # un-normalised enough
+        term = jnp.max(jnp.where(term_sel, a_new, NEG), axis=0) + delta
         return (a_new, a1, delta), (ptr, term)
 
     xs = (wdiag[1:], wup[1:], wleft[1:], valid[1:], s1[1:], s2[1:])

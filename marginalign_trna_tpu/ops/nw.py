@@ -54,6 +54,13 @@ def banded_nw(params_arr: jnp.ndarray, batch: DeviceBatch) -> NwResult:
     m0 = neg.at[0, :].set(0.0)  # cell (0,0)
     f0 = jnp.stack([m0, neg, neg])  # [3, Wp, B]
 
+    # Terminal-cell selector (per-step gathers are pathological inside TPU
+    # scans; a masked reduction against this constant mask is cheap).
+    term_sel = (
+        jnp.arange(Wp, dtype=jnp.int32)[:, None]
+        == batch.final_k.astype(jnp.int32)[None, :]
+    ).astype(dtype)  # [Wp, B]
+
     def step(carry, xs):
         f1, f2, delta_prev = carry
         xb_d, yb_d, valid_d, s1_d, s2_d = xs
@@ -94,7 +101,8 @@ def banded_nw(params_arr: jnp.ndarray, batch: DeviceBatch) -> NwResult:
         ptr = (m_ptr | (ix_ptr << 2) | (iy_ptr << 3))
         # Snapshot this step's value at each lane's terminal band index, so
         # lanes that finish before the last step keep their terminal state.
-        term = f_new[:, batch.final_k, jnp.arange(B)]  # [3, B]
+        masked = jnp.where(term_sel[None] > 0, f_new, NEG)
+        term = jnp.max(masked, axis=1)  # [3, B]
         return (f_new, f1, delta), (ptr, term)
 
     xs = (

@@ -67,3 +67,23 @@ def test_tracebacks_match_python(rng):
         assert a.pos == b.pos
     os.unlink(out_nat)
     os.unlink(out_py)
+
+
+def test_pack_band_lane_matches_numpy(rng):
+    from marginalign_trna_tpu.ops.band import pack_banded_batch
+
+    reads = [rng.integers(0, 5, size=m).astype(np.int8) for m in (30, 55)]
+    refs = [rng.integers(0, 5, size=n).astype(np.int8) for n in (40, 50)]
+    nat = pack_banded_batch(reads, refs, width=17)
+    os.environ["MARGINALIGN_NO_NATIVE"] = "1"
+    native._lib = None
+    native._tried = False
+    try:
+        py = pack_banded_batch(reads, refs, width=17)
+    finally:
+        del os.environ["MARGINALIGN_NO_NATIVE"]
+        native._tried = False
+    assert np.array_equal(nat.xb, py.xb)
+    assert np.array_equal(nat.yb, py.yb)
+    assert np.array_equal(nat.valid, py.valid)
+    assert np.array_equal(nat.lo, py.lo)
