@@ -31,7 +31,7 @@ XLA-scan engine on TPU (whose einsums round through the MXU).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +44,6 @@ from .fb import DeviceBatch, FbTables
 _NSTATE = 5
 STEP_BLOCK = int(__import__("os").environ.get("MARGINALIGN_STEP_BLOCK", "8"))
 # anti-diagonals per grid step (kernel unroll factor)
-_NEVER = 99     # sentinel compare value that never matches s1/s2
 
 
 def _use_interpret() -> bool:
