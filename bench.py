@@ -61,10 +61,12 @@ def main():
         del logZ, post
         return out
 
-    run()  # compile + warm up
+    from marginalign_trna_tpu.parallel.runtime import with_retries
+
+    with_retries(run, attempts=3)  # compile + warm up (tunnel can flake)
     t0 = time.perf_counter()
     for _ in range(reps):
-        run()
+        with_retries(run, attempts=3)
     dt = (time.perf_counter() - t0) / reps
 
     value = cells / dt
