@@ -118,3 +118,20 @@ def test_realign_reference_input_sam(fixtures_dir, tmp_path):
     for rec in sam.records:
         # Hard clips preserved at the ends (realignSamFile3TargetFn).
         assert rec.cigar[0][0] == 5 or rec.cigar[-1][0] == 5
+
+
+def test_one_call_api(fixtures_dir, tmp_path):
+    """pipeline.align_and_call: full FASTQ -> SAM -> VCF in one call."""
+    from marginalign_trna_tpu import pipeline
+
+    out_sam = str(tmp_path / "api.sam")
+    out_vcf = str(tmp_path / "api.vcf")
+    calls = pipeline.align_and_call(
+        os.path.join(fixtures_dir, "lessReads.fq"),
+        os.path.join(fixtures_dir, "references.fa"),
+        out_sam, out_vcf,
+    )
+    assert os.path.exists(out_sam) and os.path.exists(out_vcf)
+    assert isinstance(calls, list)
+    stats = _stats(out_sam, fixtures_dir)
+    assert len(stats) == 5
