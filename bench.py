@@ -34,8 +34,9 @@ def main():
     from __graft_entry__ import _example_batch
 
     platform = jax.devices()[0].platform
-    # Batch sized for one chip: 1024 lanes of ~3.5kb reads.
-    n_reads = int(os.environ.get("BENCH_READS", "1024"))
+    # Batch sized for one chip: 1536 lanes of ~3.5kb reads
+    # (largest that holds all streams in HBM with headroom).
+    n_reads = int(os.environ.get("BENCH_READS", "1536"))
     read_len = int(os.environ.get("BENCH_READ_LEN", "3500"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
