@@ -173,6 +173,19 @@ def train_em(
 
     jobs = sample_jobs(jobs, options.max_alignment_length_to_sample,
                        options.seed)
+
+    # Multi-host: each process trains on its strided share of the jobs and
+    # count tensors all-reduce across hosts (single-process: no-ops).
+    from ..parallel.runtime import allreduce_sum_host, shard_for_host
+
+    jobs = shard_for_host(jobs)
+    if psum_fn is None:
+        import jax
+
+        if jax.process_count() > 1:
+            def psum_fn(tc, em, eg, ll):
+                return allreduce_sum_host(tc, em, eg, ll)
+
     buckets = _bucket_jobs(jobs, options.band_width, options.max_batch_cells)
 
     ckpt = EmCheckpoint.try_load(checkpoint_path)

@@ -162,9 +162,23 @@ def margin_caller(
     options = options or CallerOptions()
     sam = SamFile.read(sam_path)
     ref_sequences = get_fasta_dictionary(reference_fasta_path)
+
+    # Multi-host: strided record sharding + all-reduced expectation tensors
+    # (single-process: no-ops).  Replaces the reference's per-chunk pickle
+    # merge (marginCallerLib.py:179-187).
+    from ..parallel.runtime import allreduce_sum_host, shard_for_host
+
+    sam.records = shard_for_host(sam.records)
     expectations = accumulate_expectations(
         sam, ref_sequences, alignment_model, options
     )
+    import jax
+
+    if jax.process_count() > 1:
+        expectations = {
+            name: allreduce_sum_host(exp)
+            for name, exp in expectations.items()
+        }
     calls = call_variants(
         expectations, ref_sequences, error_model, options.threshold
     )

@@ -80,6 +80,28 @@ def shard_for_host(items: Sequence[T]) -> List[T]:
     return list(items[jax.process_index() :: jax.process_count()])
 
 
+def allreduce_sum_host(*arrays):
+    """Sum host numpy arrays (or floats) across all processes.  Identity in
+    single-process runs; the multi-host equivalent of the reference's
+    pickled-chunk summation (marginCallerLib.py:179-187)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return arrays if len(arrays) > 1 else arrays[0]
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    out = []
+    for a in arrays:
+        gathered = multihost_utils.process_allgather(
+            jnp.asarray(a, jnp.float64)
+        )
+        summed = np.asarray(gathered).sum(axis=0)
+        out.append(float(summed) if np.ndim(a) == 0 else summed)
+    return tuple(out) if len(out) > 1 else out[0]
+
+
 def with_retries(
     fn: Callable[[], T],
     attempts: int = 3,
