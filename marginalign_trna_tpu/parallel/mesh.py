@@ -113,14 +113,31 @@ def make_em_train_step(mesh: Mesh):
         out_specs=(P(), P(), P(), P()),
     )
     def _counts(tables_tuple, batch):
+        from ..ops.dispatch import use_pallas
+
         tables = FbTables(*tables_tuple)
-        res = forward_backward(
-            tables, batch, want_posteriors=False, want_counts=True
-        )
-        tc = jax.lax.psum(res.trans_counts, "data")
-        em = jax.lax.psum(res.emit_match, "data")
-        eg = jax.lax.psum(res.emit_gap, "data")
-        ll = jax.lax.psum(jnp.sum(res.logZ), "data")
+        if use_pallas():
+            from ..ops.fb_pallas_counts import (
+                counts_pallas, match_counts_from_posteriors,
+            )
+
+            res = counts_pallas(tables, batch)
+            tc_local = res.trans_counts
+            em_local = match_counts_from_posteriors(res.posteriors, batch)
+            eg_local = res.emit_gap
+            logZ = res.logZ
+        else:
+            res = forward_backward(
+                tables, batch, want_posteriors=False, want_counts=True
+            )
+            tc_local, em_local, eg_local = (
+                res.trans_counts, res.emit_match, res.emit_gap
+            )
+            logZ = res.logZ
+        tc = jax.lax.psum(tc_local, "data")
+        em = jax.lax.psum(em_local, "data")
+        eg = jax.lax.psum(eg_local.astype(jnp.float32), "data")
+        ll = jax.lax.psum(jnp.sum(logZ), "data")
         return tc, em, eg, ll
 
     @jax.jit
