@@ -45,6 +45,38 @@ _NSTATE = 5
 STEP_BLOCK = int(__import__("os").environ.get("MARGINALIGN_STEP_BLOCK", "8"))
 # anti-diagonals per grid step (kernel unroll factor)
 
+# Rescale by the band max only once every _RESCALE_PERIOD diagonals instead
+# of every step: the fmax chain, divides, per-state rescale multiplies and
+# the log() are ~12 of the ~45 VPU ops per cell, and f32 has the headroom —
+# worst-case per-diagonal band-max decay is ~3e-3 (min live
+# transition*emission in the shipped models), so 8 unrescaled steps decay at
+# most ~1e-21, far above the 1e-38 f32 normal floor.  The d-1/d-2 frontier
+# scale-mixing invariant then only applies on the step immediately after a
+# rescale (cprev == 1.0 statically elsewhere, so those divides fold away:
+# kb is a Python-unrolled constant).
+_RESCALE_PERIOD = 8
+
+
+def _fwd_rescale_step(kb: int) -> bool:
+    return kb % _RESCALE_PERIOD == _RESCALE_PERIOD - 1 or kb == STEP_BLOCK - 1
+
+
+def _fwd_divide_step(kb: int) -> bool:
+    # True iff the previous diagonal (kb-1, or the prior block's last step)
+    # rescaled, so the d-2 frontier is one scale factor behind.
+    return kb % _RESCALE_PERIOD == 0
+
+
+def _bwd_rescale_step(kb: int) -> bool:
+    # The backward walks kb descending within a block.
+    return kb % _RESCALE_PERIOD == 0
+
+
+def _bwd_divide_step(kb: int) -> bool:
+    # True iff the previously-processed diagonal (kb+1, or the prior
+    # block's kb==0) rescaled.
+    return (kb + 1) % _RESCALE_PERIOD == 0 or kb == STEP_BLOCK - 1
+
 
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
@@ -226,7 +258,9 @@ def _fwd_body(
 
         e_match, e_gap = _emissions(Em, Eg, xb, yb)
 
-        mix_m = _mix(T, f2, 0, zero_arr) / cprev
+        mix_m = _mix(T, f2, 0, zero_arr)
+        if _fwd_divide_step(kb):
+            mix_m = mix_m / cprev
         mix_g = [_mix(T, f1, t, zero_arr) for t in range(1, _NSTATE)]
 
         new = [None] * _NSTATE
@@ -238,14 +272,18 @@ def _fwd_body(
             new[s] = e_gap[s] * _roll_shift(
                 mix_g[s - 1], False, s1 == 0) * valid
 
-        fmax = _max5(new).max(axis=0, keepdims=True)  # [1, B]
-        c = jnp.where(fmax > 0, fmax, 1.0)
-        inv_c = 1.0 / c
-
+        rescale = _fwd_rescale_step(kb)
         kidx = jax.lax.broadcasted_iota(jnp.int32, new[0].shape, 0)
         sel = (kidx == fink_ref[kb]).astype(jnp.float32)
-        term = (_sum5(new) * sel).sum(axis=0, keepdims=True) * inv_c
-        scaled = [new[s] * inv_c for s in range(_NSTATE)]
+        term = (_sum5(new) * sel).sum(axis=0, keepdims=True)
+        if rescale:
+            fmax = _max5(new).max(axis=0, keepdims=True)  # [1, B]
+            c = jnp.where(fmax > 0, fmax, 1.0)
+            inv_c = 1.0 / c
+            term = term * inv_c
+            scaled = [new[s] * inv_c for s in range(_NSTATE)]
+        else:
+            scaled = new
 
         if kb == 0:
             # d = 0 on the first grid step is pure initialisation: keep the
@@ -255,16 +293,18 @@ def _fwd_body(
                        for s in range(_NSTATE)]
             f2_next = [jnp.where(is_first, f2[s], f1[s])
                        for s in range(_NSTATE)]
-            ls = jnp.where(is_first, ls, ls + jnp.log(c))
-            cprev = jnp.where(is_first, cprev, c)
+            if rescale:  # only when STEP_BLOCK == 1
+                ls = jnp.where(is_first, ls, ls + jnp.log(c))
+                cprev = jnp.where(is_first, cprev, c)
             term = jnp.where(is_first,
                              (_sum5(f1) * sel).sum(axis=0, keepdims=True),
                              term)
         else:
             f1_next = scaled
             f2_next = f1
-            ls = ls + jnp.log(c)
-            cprev = c
+            if rescale:
+                ls = ls + jnp.log(c)
+                cprev = c
 
         fm_out_ref[kb] = f1_next[0]
         lsf_ref[kb] = ls
@@ -443,8 +483,11 @@ def _bwd_body(
         _, e_gap1 = _emissions(None, Eg, xb1, yb1)
 
         q = [None] * _NSTATE
-        # Match target at d+2 (b2 is one scale step behind b1).
-        q[0] = _roll_shift(e_match2 * b2[0], s2n == 0, s2n == 2) / cprev
+        # Match target at d+2 (b2 is one scale step behind b1 only on the
+        # step right after a rescale).
+        q[0] = _roll_shift(e_match2 * b2[0], s2n == 0, s2n == 2)
+        if _bwd_divide_step(kb):
+            q[0] = q[0] / cprev
         for s in (1, 3):  # X-gap at d+1: shift t = -s1n in {-1, 0}
             q[s] = _roll_shift(e_gap1[s] * b1[s], False, s1n == 1)
         for s in (2, 4):  # Y-gap at d+1: shift t = 1 - s1n in {0, 1}
@@ -468,17 +511,21 @@ def _bwd_body(
                 acc = zero_arr
             new[s] = (acc + inj) * valid
 
-        bmax = _max5(new).max(axis=0, keepdims=True)
-        c = jnp.where(bmax > 0, bmax, 1.0)
-        inv_c = 1.0 / c
-        bls = bls + jnp.log(c)
-        cprev = c
+        if _bwd_rescale_step(kb):
+            bmax = _max5(new).max(axis=0, keepdims=True)
+            c = jnp.where(bmax > 0, bmax, 1.0)
+            inv_c = 1.0 / c
+            bls = bls + jnp.log(c)
+            cprev = c
+            b_out = [new[s] * inv_c for s in range(_NSTATE)]
+        else:
+            b_out = new
 
         alpha = jnp.exp(lsf_ref[kb] + bls - logZ)
-        post_ref[kb] = fm_ref[kb] * (new[0] * inv_c) * alpha
+        post_ref[kb] = fm_ref[kb] * b_out[0] * alpha
 
         b2 = b1
-        b1 = [new[s] * inv_c for s in range(_NSTATE)]
+        b1 = b_out
 
     for s in range(_NSTATE):
         b1_refs[s][:, :] = b1[s]
@@ -705,7 +752,9 @@ def _make_fwd_kernel_pre(st, gc):
             s2 = s2_ref[kb]
 
             mix_m = mix(f2, 0)
-            mix_m = (mix_m if mix_m is not None else zero_arr) / cprev
+            mix_m = mix_m if mix_m is not None else zero_arr
+            if _fwd_divide_step(kb):
+                mix_m = mix_m / cprev
             # Gap emission constants fold into the transition coefficients.
             mix_g = [mix(f1, t, gc[t - 1]) for t in range(1, _NSTATE)]
             mix_g = [m if m is not None else zero_arr for m in mix_g]
@@ -719,14 +768,18 @@ def _make_fwd_kernel_pre(st, gc):
                 new[s] = _roll_shift(
                     mix_g[s - 1], False, s1 == 0) * valid
 
-            fmax = _max5(new).max(axis=0, keepdims=True)
-            c = jnp.where(fmax > 0, fmax, 1.0)
-            inv_c = 1.0 / c
-
+            rescale = _fwd_rescale_step(kb)
             kidx = jax.lax.broadcasted_iota(jnp.int32, new[0].shape, 0)
             sel = (kidx == fink_ref[kb]).astype(jnp.float32)
-            term = (_sum5(new) * sel).sum(axis=0, keepdims=True) * inv_c
-            scaled = [new[s] * inv_c for s in range(_NSTATE)]
+            term = (_sum5(new) * sel).sum(axis=0, keepdims=True)
+            if rescale:
+                fmax = _max5(new).max(axis=0, keepdims=True)
+                c = jnp.where(fmax > 0, fmax, 1.0)
+                inv_c = 1.0 / c
+                term = term * inv_c
+                scaled = [new[s] * inv_c for s in range(_NSTATE)]
+            else:
+                scaled = new
 
             if kb == 0:
                 is_first = i == 0
@@ -734,8 +787,9 @@ def _make_fwd_kernel_pre(st, gc):
                            for s in range(_NSTATE)]
                 f2_next = [jnp.where(is_first, f2[s], f1[s])
                            for s in range(_NSTATE)]
-                ls = jnp.where(is_first, ls, ls + jnp.log(c))
-                cprev = jnp.where(is_first, cprev, c)
+                if rescale:  # only when STEP_BLOCK == 1
+                    ls = jnp.where(is_first, ls, ls + jnp.log(c))
+                    cprev = jnp.where(is_first, cprev, c)
                 term = jnp.where(
                     is_first,
                     (_sum5(f1) * sel).sum(axis=0, keepdims=True), term,
@@ -743,8 +797,9 @@ def _make_fwd_kernel_pre(st, gc):
             else:
                 f1_next = scaled
                 f2_next = f1
-                ls = ls + jnp.log(c)
-                cprev = c
+                if rescale:
+                    ls = ls + jnp.log(c)
+                    cprev = c
 
             fm_out_ref[kb] = f1_next[0]
             lsf_ref[kb] = ls
@@ -800,8 +855,9 @@ def _make_bwd_kernel_pre(st, gc):
             s2n = s2n_ref[kb]
 
             q = [None] * _NSTATE
-            q[0] = _roll_shift(em2_ref[kb] * b2[0], s2n == 0, s2n == 2) \
-                / cprev
+            q[0] = _roll_shift(em2_ref[kb] * b2[0], s2n == 0, s2n == 2)
+            if _bwd_divide_step(kb):
+                q[0] = q[0] / cprev
             for s in (1, 3):
                 q[s] = _roll_shift(b1[s], False, s1n == 1)
             for s in (2, 4):
@@ -827,17 +883,21 @@ def _make_bwd_kernel_pre(st, gc):
                     acc = zero_arr
                 new[s] = (acc + inj) * valid
 
-            bmax = _max5(new).max(axis=0, keepdims=True)
-            c = jnp.where(bmax > 0, bmax, 1.0)
-            inv_c = 1.0 / c
-            bls = bls + jnp.log(c)
-            cprev = c
+            if _bwd_rescale_step(kb):
+                bmax = _max5(new).max(axis=0, keepdims=True)
+                c = jnp.where(bmax > 0, bmax, 1.0)
+                inv_c = 1.0 / c
+                bls = bls + jnp.log(c)
+                cprev = c
+                b_out = [new[s] * inv_c for s in range(_NSTATE)]
+            else:
+                b_out = new
 
             alpha = jnp.exp(lsf_ref[kb] + bls - logZ)
-            post_ref[kb] = fm_ref[kb] * (new[0] * inv_c) * alpha
+            post_ref[kb] = fm_ref[kb] * b_out[0] * alpha
 
             b2 = b1
-            b1 = [new[s] * inv_c for s in range(_NSTATE)]
+            b1 = b_out
 
         for s in range(_NSTATE):
             b1_refs[s][:, :] = b1[s]

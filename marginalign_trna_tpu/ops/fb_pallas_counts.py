@@ -31,8 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fb import DeviceBatch, FbTables
 from .fb_pallas import (
-    STEP_BLOCK, _TableView, _emissions, _max5, _mix, _pad_steps, _roll_shift,
-    _sum5, _use_interpret,
+    STEP_BLOCK, _TableView, _bwd_divide_step, _bwd_rescale_step, _emissions,
+    _fwd_divide_step, _fwd_rescale_step, _max5, _mix, _pad_steps,
+    _roll_shift, _sum5, _use_interpret,
 )
 
 _NSTATE = 5
@@ -78,7 +79,9 @@ def _fwd_all_kernel(
 
         e_match, e_gap = _emissions(Em, Eg, xb, yb)
 
-        mix_m = _mix(T, f2, 0, zero_arr) / cprev
+        mix_m = _mix(T, f2, 0, zero_arr)
+        if _fwd_divide_step(kb):
+            mix_m = mix_m / cprev
         mix_g = [_mix(T, f1, t, zero_arr) for t in range(1, _NSTATE)]
 
         new = [None] * _NSTATE
@@ -90,14 +93,18 @@ def _fwd_all_kernel(
             new[s] = e_gap[s] * _roll_shift(
                 mix_g[s - 1], False, s1 == 0) * valid
 
-        fmax = _max5(new).max(axis=0, keepdims=True)
-        c = jnp.where(fmax > 0, fmax, 1.0)
-        inv_c = 1.0 / c
-
+        rescale = _fwd_rescale_step(kb)
         kidx = jax.lax.broadcasted_iota(jnp.int32, new[0].shape, 0)
         sel = (kidx == fink_ref[kb]).astype(jnp.float32)
-        term = (_sum5(new) * sel).sum(axis=0, keepdims=True) * inv_c
-        scaled = [new[s] * inv_c for s in range(_NSTATE)]
+        term = (_sum5(new) * sel).sum(axis=0, keepdims=True)
+        if rescale:
+            fmax = _max5(new).max(axis=0, keepdims=True)
+            c = jnp.where(fmax > 0, fmax, 1.0)
+            inv_c = 1.0 / c
+            term = term * inv_c
+            scaled = [new[s] * inv_c for s in range(_NSTATE)]
+        else:
+            scaled = new
 
         if kb == 0:
             is_first = i == 0
@@ -105,16 +112,18 @@ def _fwd_all_kernel(
                        for s in range(_NSTATE)]
             f2_next = [jnp.where(is_first, f2[s], f1[s])
                        for s in range(_NSTATE)]
-            ls = jnp.where(is_first, ls, ls + jnp.log(c))
-            cprev = jnp.where(is_first, cprev, c)
+            if rescale:  # only when STEP_BLOCK == 1
+                ls = jnp.where(is_first, ls, ls + jnp.log(c))
+                cprev = jnp.where(is_first, cprev, c)
             term = jnp.where(
                 is_first, (_sum5(f1) * sel).sum(axis=0, keepdims=True), term
             )
         else:
             f1_next = scaled
             f2_next = f1
-            ls = ls + jnp.log(c)
-            cprev = c
+            if rescale:
+                ls = ls + jnp.log(c)
+                cprev = c
 
         for s in range(_NSTATE):
             f_out_ref[kb, s] = f1_next[s]
@@ -185,7 +194,9 @@ def _bwd_counts_kernel(
         _, e_gap1 = _emissions(None, Eg, xb1, yb1)
 
         q = [None] * _NSTATE
-        q[0] = _roll_shift(e_match2 * b2[0], s2n == 0, s2n == 2) / cprev
+        q[0] = _roll_shift(e_match2 * b2[0], s2n == 0, s2n == 2)
+        if _bwd_divide_step(kb):
+            q[0] = q[0] / cprev
         for s in (1, 3):
             q[s] = _roll_shift(e_gap1[s] * b1[s], False, s1n == 1)
         for s in (2, 4):
@@ -205,16 +216,21 @@ def _bwd_counts_kernel(
                 acc = term if acc is None else acc + term
             new[s] = (acc + inj) * valid
 
-        bmax = _max5(new).max(axis=0, keepdims=True)
-        c = jnp.where(bmax > 0, bmax, 1.0)
-        inv_c = 1.0 / c
-        bls = bls + jnp.log(c)
-        cprev = c
+        if _bwd_rescale_step(kb):
+            bmax = _max5(new).max(axis=0, keepdims=True)
+            c = jnp.where(bmax > 0, bmax, 1.0)
+            inv_c = 1.0 / c
+            bls = bls + jnp.log(c)
+            cprev = c
+            b_out = [new[s] * inv_c for s in range(_NSTATE)]
+            alpha0 = jnp.exp(lsf_ref[kb] + bls - logZ)   # for gamma at d
+            alpha1 = alpha0 * inv_c                      # q is on bls[d+1]
+        else:
+            b_out = new
+            alpha0 = jnp.exp(lsf_ref[kb] + bls - logZ)
+            alpha1 = alpha0  # no rescale: bls[d] == bls[d+1]
 
-        alpha0 = jnp.exp(lsf_ref[kb] + bls - logZ)   # for gamma at d
-        alpha1 = alpha0 * inv_c                      # for q (scale bls[d+1])
-
-        post_ref[kb] = f_d[0] * (new[0] * inv_c) * alpha0
+        post_ref[kb] = f_d[0] * b_out[0] * alpha0
 
         # Transition partials: rows s*5+u accumulate
         #   sum_k F_hat[s] * q_hat[u] (alpha applied; T factor on host).
@@ -232,7 +248,7 @@ def _bwd_counts_kernel(
         not_boundary = jnp.where(d == 0, 0.0, 1.0)
         grows = []
         for s in range(1, _NSTATE):
-            gamma_s = f_d[s] * (new[s] * inv_c) * (alpha0 * not_boundary)
+            gamma_s = f_d[s] * b_out[s] * (alpha0 * not_boundary)
             basis = xb if s in (1, 3) else yb
             for code in range(5):
                 m = jnp.where(basis == code, gamma_s, 0.0)
@@ -241,7 +257,7 @@ def _bwd_counts_kernel(
         ega = ega + jnp.concatenate(grows, axis=0)
 
         b2 = b1
-        b1 = [new[s] * inv_c for s in range(_NSTATE)]
+        b1 = b_out
 
     for s in range(_NSTATE):
         b1_refs[s][:, :] = b1[s]
