@@ -66,6 +66,21 @@ def accumulate_expectations(
 
     jobs = _jobs_from_sam(sam, ref_sequences, encode)
     tables = make_tables(alignment_hmm)
+
+    # Global coordinate space: all references concatenated, so one dense
+    # [total_ref_len, 4] device segment-sum covers every lane regardless of
+    # which reference it aligns to (see ops/expectations.py).
+    ref_names = list(ref_sequences.keys())
+    global_off = {}
+    total = 0
+    for name in ref_names:
+        global_off[name] = total
+        total += len(ref_sequences[name])
+    exp_global = np.zeros((total, 4))
+
+    from ..ops.expectations import band_expectations
+    from ..parallel.runtime import with_retries
+
     for bucket in _bucket_jobs(jobs, options.band_width,
                                options.max_batch_cells):
         batch = pack_banded_batch(
@@ -75,34 +90,21 @@ def accumulate_expectations(
             paths=[jobs[i].path for i in bucket],
             quantize=True,
         )
-        from ..parallel.runtime import with_retries
-
-        def _run(b=batch):
-            _, post_dev = fb_posteriors(tables, device_batch(b))
-            return np.asarray(post_dev)
-
-        post = with_retries(_run)  # [D1, Wp, Bpad]
-        ks = np.arange(batch.wp)
+        offsets = np.zeros(batch.batch, dtype=np.int64)
         for local_b, job_idx in enumerate(bucket):
-            job = jobs[job_idx]
-            rec = job.record
-            exp = expectations[rec.rname]
-            m, n = int(batch.m[local_b]), int(batch.n[local_b])
-            D = m + n
-            lo = batch.lo[: D + 1, local_b]
-            i_idx = lo[:, None] + ks[None, :]
-            j_idx = np.arange(D + 1)[:, None] - i_idx
-            ok = (
-                batch.valid[: D + 1, :, local_b]
-                & (i_idx >= 1) & (j_idx >= 1)
-            )
-            p = post[: D + 1, :, local_b][ok]
-            ii = i_idx[ok] - 1
-            jj = j_idx[ok] - 1
-            codes = job.read_region[ii]
-            keep = codes < 4  # N and other wildcards ignored
-            ref_pos = rec.reference_start + jj[keep]
-            np.add.at(exp, (ref_pos, codes[keep].astype(np.int64)), p[keep])
+            rec = jobs[job_idx].record
+            offsets[local_b] = global_off[rec.rname] + rec.reference_start
+
+        def _run(b=batch, off=offsets, nb=len(bucket)):
+            # The posterior band stays on device; only the [total, 4]
+            # expectation tensor crosses to the host.
+            _, post_dev = fb_posteriors(tables, device_batch(b))
+            return band_expectations(post_dev, b, off, total, n_real=nb)
+
+        exp_global += with_retries(_run)
+    for name in ref_names:
+        off = global_off[name]
+        expectations[name] += exp_global[off : off + len(ref_sequences[name])]
     return expectations
 
 

@@ -1,0 +1,153 @@
+"""Device-side accumulation of marginCaller base expectations.
+
+The reference accumulates {(refName, refPos) -> {base -> sum of posterior
+probs}} dicts per chunk and merges pickles (marginCallerLib.py:60-74,
+179-187).  Our equivalent output is a dense [total_ref_len, 4] tensor, but
+scattering ~1e8 posterior band cells into it with host np.add.at costs tens
+of seconds per batch — 100x the FB kernel itself.
+
+TPU-native formulation: a banded monotone segment-sum.  For band row k of
+lane b, cell (d, k) targets global reference position
+
+    g(d, k) = gu(d) - k - 1,     gu(d) = ref_offset + d - lo(d),
+
+and gu is non-decreasing in d with steps of 0/1 (lo steps 0/1 per
+diagonal).  Hence for fixed (k, b) every target position g collects a
+*contiguous run* of diagonals, and the whole scatter becomes, per base
+code:
+
+    cumsum along d  ->  two gathers per band row at host-precomputed run
+    boundaries E1[v] = #{d : gu(d) <= v}  ->  differences, summed over k
+    and lanes.
+
+Everything on device is a parallel XLA op (cumsum / gather / slice); there
+is no scatter and nothing sequential per diagonal.  The E1 boundary table
+is cheap host numpy (one searchsorted per lane).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .band import BandedBatch
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@partial(jax.jit, static_argnames=("width", "rg"))
+def _expectations_device(post, valid, yb, lo, e1, width: int, rg: int):
+    """[rg, 4] expected base counts from a posterior band.
+
+    post  [D1, Wp, B] f32   match posteriors
+    valid [D1, Wp, B] bool
+    yb    [D1, Wp, B] int8  read code at each cell
+    lo    [D1, B]     int32 band offsets
+    e1    [VE, B]     int32 run boundaries, VE = rg + width + 1
+    """
+    D1, Wp, B = post.shape
+    d = jax.lax.broadcasted_iota(jnp.int32, (D1, 1, 1), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, Wp, 1), 1)
+    i = lo[:, None, :].astype(jnp.int32) + k
+    j = d - i
+    # Cells at i == 0 or j == 0 are grid-boundary prefix cells that emit
+    # nothing (reference: AlignedPair iterates real pairs only,
+    # src/margin/utils.py:256-287).
+    ok = valid & (i >= 1) & (j >= 1)
+
+    def per_code(c):
+        wc = jnp.where(ok & (yb == c), post, 0.0)
+        sp = jnp.concatenate(
+            [jnp.zeros((1, Wp, B), post.dtype), jnp.cumsum(wc, axis=0)],
+            axis=0,
+        )  # [D1+1, Wp, B]
+        acc = jnp.zeros((rg, B), post.dtype)
+        for kk in range(width):
+            gk = jnp.take_along_axis(
+                sp[:, kk, :], e1[kk : kk + rg + 1, :], axis=0
+            )  # [rg+1, B]: run-boundary prefix sums for this band row
+            acc = acc + (gk[1:] - gk[:-1])
+        return acc.sum(axis=1)
+
+    out = jax.lax.map(per_code, jnp.arange(4, dtype=jnp.int8))  # [4, rg]
+    return out.T
+
+
+def run_boundaries(
+    batch: BandedBatch, ref_offsets: np.ndarray, rg: int, n_real: int
+) -> np.ndarray:
+    """E1[v, b] = #{d : gu(d, b) <= v} for v in [0, rg + width], int32.
+
+    ref_offsets[b] is the global start of lane b's reference window; lanes
+    >= n_real are padding and get all-zero boundaries (no contribution).
+    """
+    D1 = batch.num_steps
+    B = batch.batch
+    VE = rg + batch.width + 1
+    e1 = np.zeros((VE, B), dtype=np.int32)
+    vs = np.arange(VE, dtype=np.int64)
+    base = np.arange(D1, dtype=np.int64)
+    for b in range(n_real):
+        gu = ref_offsets[b] + base - batch.lo[:, b]
+        e1[:, b] = np.searchsorted(gu, vs, side="right")
+    return e1
+
+
+def band_expectations(
+    post,
+    batch: BandedBatch,
+    ref_offsets: np.ndarray,
+    total_ref_len: int,
+    n_real: Optional[int] = None,
+) -> np.ndarray:
+    """[total_ref_len, 4] expected base counts for one posterior batch.
+
+    post may be a device array (preferred: avoids transferring the
+    multi-GB band to the host) or numpy.
+    """
+    n_real = batch.batch if n_real is None else n_real
+    rg = _round_up(max(total_ref_len, 1), 512)  # quantized for jit reuse
+    e1 = run_boundaries(batch, ref_offsets, rg, n_real)
+    out = _expectations_device(
+        jnp.asarray(post),
+        jnp.asarray(batch.valid),
+        jnp.asarray(batch.yb),
+        jnp.asarray(batch.lo),
+        jnp.asarray(e1),
+        width=batch.width,
+        rg=rg,
+    )
+    return np.asarray(out)[:total_ref_len]
+
+
+def band_expectations_host(
+    post: np.ndarray,
+    batch: BandedBatch,
+    ref_offsets: np.ndarray,
+    total_ref_len: int,
+    n_real: Optional[int] = None,
+) -> np.ndarray:
+    """Host-loop oracle for band_expectations (the original np.add.at
+    implementation, kept for tests and as a CPU fallback)."""
+    n_real = batch.batch if n_real is None else n_real
+    exp = np.zeros((total_ref_len, 4))
+    post = np.asarray(post)
+    ks = np.arange(batch.wp)
+    for b in range(n_real):
+        m, n = int(batch.m[b]), int(batch.n[b])
+        D = m + n
+        lo = batch.lo[: D + 1, b]
+        i_idx = lo[:, None] + ks[None, :]
+        j_idx = np.arange(D + 1)[:, None] - i_idx
+        ok = batch.valid[: D + 1, :, b] & (i_idx >= 1) & (j_idx >= 1)
+        p = post[: D + 1, :, b][ok]
+        codes = batch.yb[: D + 1, :, b][ok].astype(np.int64)
+        keep = codes < 4
+        ref_pos = ref_offsets[b] + j_idx[ok][keep] - 1
+        np.add.at(exp, (ref_pos, codes[keep]), p[keep])
+    return exp
