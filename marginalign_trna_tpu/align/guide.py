@@ -29,7 +29,7 @@ from ..io.sam import SamFile, SamRecord, make_header
 from ..ops import band as band_mod
 from ..ops.band import pack_banded_batch
 from ..ops.fb import device_batch
-from ..ops.nw import NwParams, banded_nw, traceback
+from ..ops.nw import NwParams, banded_nw_auto, traceback
 from ..utils.seq import encode, revcomp_codes, reverse_complement
 
 
@@ -259,7 +259,7 @@ def align_candidates(
         [cfg.nw.match, cfg.nw.mismatch, cfg.nw.gap_open, cfg.nw.gap_extend],
         jnp.float32,
     )
-    res = banded_nw(params, device_batch(batch))
+    res = banded_nw_auto(params, device_batch(batch))
     pointers = np.asarray(res.pointers)
     final_states = np.asarray(res.final_state)
 

@@ -125,6 +125,23 @@ def band_expectations(
     return np.asarray(out)[:total_ref_len]
 
 
+def read_position_boundaries(
+    batch: BandedBatch, rgm: int, n_real: int
+) -> np.ndarray:
+    """E1r[t, b] = #{d : lo(d, b) <= t - width} for t in [0, rgm + width],
+    int32.  Band row k cells target read position i-1 = lo(d)+k-1, which is
+    non-decreasing in d with 0/1 steps, so per-row runs are delimited by
+    these prefix counts (sliced per k; see mea_weights_device)."""
+    D1 = batch.num_steps
+    B = batch.batch
+    W = batch.width
+    e1 = np.zeros((rgm + W + 1, B), dtype=np.int32)
+    ws = np.arange(-W, rgm + 1, dtype=np.int64)
+    for b in range(n_real):
+        e1[:, b] = np.searchsorted(batch.lo[:, b], ws, side="right")
+    return e1
+
+
 def band_expectations_host(
     post: np.ndarray,
     batch: BandedBatch,

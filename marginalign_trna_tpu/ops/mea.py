@@ -15,6 +15,8 @@ pointers; the cigar is recovered by host traceback.
 """
 from __future__ import annotations
 
+import os
+from functools import partial
 from typing import List, NamedTuple, Tuple
 
 import jax
@@ -25,6 +27,10 @@ from .band import BandedBatch
 from .fb import _shift
 
 NEG = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 class MeaResult(NamedTuple):
@@ -65,6 +71,82 @@ def mea_weights(
     return wup, wleft
 
 
+@partial(jax.jit, static_argnames=("width", "rgm", "rgn"))
+def _mea_weights_jit(
+    post, valid, lo, e1r, e1c, gap_gamma, width: int, rgm: int, rgn: int
+):
+    """Device mea_weights: per-position posterior sums via the banded
+    monotone segment-sum (see ops/expectations.py — read positions move
+    0/1 per diagonal exactly like reference positions), then the clipped
+    gap weights are gathered back into band layout.  Replaces the host
+    per-read np.add.at loops at production batch sizes."""
+    D1, Wp, B = post.shape
+    d = jax.lax.broadcasted_iota(jnp.int32, (D1, 1, 1), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, Wp, 1), 1)
+    i = lo[:, None, :].astype(jnp.int32) + k
+    j = d - i
+    ok = valid & (i >= 1) & (j >= 1)
+    w = jnp.where(ok, post, 0.0)
+    sp = jnp.concatenate(
+        [jnp.zeros((1, Wp, B), post.dtype), jnp.cumsum(w, axis=0)], axis=0
+    )  # [D1+1, Wp, B]
+
+    accr = jnp.zeros((rgm, B), post.dtype)  # row sums r_{i-1}
+    accc = jnp.zeros((rgn, B), post.dtype)  # col sums c_{j-1}
+    for kk in range(width):
+        gkr = jnp.take_along_axis(
+            sp[:, kk, :], e1r[width - kk : width - kk + rgm + 1, :], axis=0
+        )
+        accr = accr + (gkr[1:] - gkr[:-1])
+        gkc = jnp.take_along_axis(
+            sp[:, kk, :], e1c[kk : kk + rgn + 1, :], axis=0
+        )
+        accc = accc + (gkc[1:] - gkc[:-1])
+
+    g_read = gap_gamma * jnp.clip(1.0 - accr, 0.0, 1.0)  # [rgm, B]
+    g_ref = gap_gamma * jnp.clip(1.0 - accc, 0.0, 1.0)   # [rgn, B]
+
+    iu = jnp.clip(i - 1, 0, rgm - 1)
+    ju = jnp.clip(j - 1, 0, rgn - 1)
+    wup = jnp.where(
+        valid & (i >= 1),
+        jnp.take_along_axis(
+            jnp.broadcast_to(g_read[:, None, :], (rgm, Wp, B)), iu, axis=0
+        ),
+        0.0,
+    )
+    wleft = jnp.where(
+        valid & (j >= 1),
+        jnp.take_along_axis(
+            jnp.broadcast_to(g_ref[:, None, :], (rgn, Wp, B)), ju, axis=0
+        ),
+        0.0,
+    )
+    return wup, wleft
+
+
+def mea_weights_device(post, batch: BandedBatch, gap_gamma: float):
+    """Device arrays (wup, wleft) [D1, Wp, B]; post may live on device."""
+    from .expectations import read_position_boundaries, run_boundaries
+
+    n_real = batch.batch
+    rgm = _round_up(max(int(batch.m.max()), 1), 256)
+    rgn = _round_up(max(int(batch.n.max()), 1), 256)
+    e1r = read_position_boundaries(batch, rgm, n_real)
+    e1c = run_boundaries(batch, np.zeros(n_real, np.int64), rgn, n_real)
+    return _mea_weights_jit(
+        jnp.asarray(post),
+        jnp.asarray(batch.valid),
+        jnp.asarray(batch.lo),
+        jnp.asarray(e1r),
+        jnp.asarray(e1c),
+        jnp.float32(gap_gamma),
+        width=batch.width,
+        rgm=rgm,
+        rgn=rgn,
+    )
+
+
 @jax.jit
 def banded_mea(
     wdiag: jnp.ndarray,   # [D1, Wp, B] posterior match weights (NEG = banned)
@@ -86,7 +168,7 @@ def banded_mea(
     )
 
     def step(carry, xs):
-        a1, a2, delta_prev = carry
+        a1, a2, delta_prev, cum = carry
         wd, wu, wl, valid_d, s1_d, s2_d = xs
 
         diag = _shift(a2, s2_d - 1) - delta_prev[None, :] + wd
@@ -100,12 +182,15 @@ def banded_mea(
 
         delta = jnp.maximum(jnp.max(a_new, axis=0), 0.0)
         a_new = jnp.where(a_new <= NEG / 2, NEG, a_new - delta)
-        term = jnp.max(jnp.where(term_sel, a_new, NEG), axis=0) + delta
-        return (a_new, a1, delta), (ptr, term)
+        # Absolute score needs the *cumulative* normalisation added back.
+        cum = cum + delta
+        term = jnp.max(jnp.where(term_sel, a_new, NEG), axis=0) + cum
+        return (a_new, a1, delta, cum), (ptr, term)
 
     xs = (wdiag[1:], wup[1:], wleft[1:], valid[1:], s1[1:], s2[1:])
-    carry0 = (a0, jnp.full_like(a0, NEG), jnp.zeros((B,), dtype))
-    (_, _, _), (ptrs, terms) = jax.lax.scan(step, carry0, xs)
+    zb = jnp.zeros((B,), dtype)
+    carry0 = (a0, jnp.full_like(a0, NEG), zb, zb)
+    _, (ptrs, terms) = jax.lax.scan(step, carry0, xs)
     ptrs = jnp.concatenate([jnp.zeros((1, Wp, B), jnp.uint8), ptrs], axis=0)
     t_idx = jnp.maximum(final_d.astype(jnp.int32) - 1, 0)
     score = terms[t_idx, jnp.arange(B)]
@@ -125,17 +210,38 @@ def mea_decode(
     full (m, n) region.
     """
     D1, Wp, B = post.shape
-    wup, wleft = mea_weights(post, batch, gap_gamma)
-    wdiag = np.where(
-        (post >= match_gamma) & (post > 0), post, NEG
-    ).astype(np.float32)
-    # Diagonal moves only exist for cells with i >= 1 and j >= 1; other
-    # cells keep NEG.  (Cells outside the band are masked by `valid`.)
-    res = banded_mea(
-        jnp.asarray(wdiag), jnp.asarray(wup), jnp.asarray(wleft),
-        jnp.asarray(batch.valid), jnp.asarray(batch.s1), jnp.asarray(batch.s2),
-        jnp.asarray(batch.final_d), jnp.asarray(batch.final_k),
-    )
+    from .dispatch import use_pallas
+
+    mode = os.environ.get("MARGINALIGN_MEA", "")
+    use_device = use_pallas() if mode == "" else mode == "device"
+    if use_device:
+        # Weights and DP stay on device; only pointers cross to the host.
+        post_dev = jnp.asarray(post)
+        wup, wleft = mea_weights_device(post_dev, batch, gap_gamma)
+        wdiag = jnp.where(
+            (post_dev >= match_gamma) & (post_dev > 0), post_dev, NEG
+        ).astype(jnp.float32)
+        from .wavefront_pallas import banded_mea_pallas
+
+        res = banded_mea_pallas(
+            wdiag, wup, wleft,
+            jnp.asarray(batch.valid), jnp.asarray(batch.s1),
+            jnp.asarray(batch.s2),
+            jnp.asarray(batch.final_d), jnp.asarray(batch.final_k),
+        )
+    else:
+        wup_h, wleft_h = mea_weights(np.asarray(post), batch, gap_gamma)
+        wdiag_h = np.where(
+            (post >= match_gamma) & (post > 0), post, NEG
+        ).astype(np.float32)
+        # Diagonal moves only exist for cells with i >= 1 and j >= 1; other
+        # cells keep NEG.  (Cells outside the band are masked by `valid`.)
+        res = banded_mea(
+            jnp.asarray(wdiag_h), jnp.asarray(wup_h), jnp.asarray(wleft_h),
+            jnp.asarray(batch.valid), jnp.asarray(batch.s1),
+            jnp.asarray(batch.s2),
+            jnp.asarray(batch.final_d), jnp.asarray(batch.final_k),
+        )
     pointers = np.asarray(res.pointers)
     out = []
     for b in range(B):

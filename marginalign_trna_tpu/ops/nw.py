@@ -62,7 +62,7 @@ def banded_nw(params_arr: jnp.ndarray, batch: DeviceBatch) -> NwResult:
     ).astype(dtype)  # [Wp, B]
 
     def step(carry, xs):
-        f1, f2, delta_prev = carry
+        f1, f2, delta_prev, cum = carry
         xb_d, yb_d, valid_d, s1_d, s2_d = xs
 
         sub = jnp.where(
@@ -101,16 +101,19 @@ def banded_nw(params_arr: jnp.ndarray, batch: DeviceBatch) -> NwResult:
         ptr = (m_ptr | (ix_ptr << 2) | (iy_ptr << 3))
         # Snapshot this step's value at each lane's terminal band index, so
         # lanes that finish before the last step keep their terminal state.
+        # The cumulative normalisation is added back for an absolute score.
+        cum = cum + delta
         masked = jnp.where(term_sel[None] > 0, f_new, NEG)
-        term = jnp.max(masked, axis=1)  # [3, B]
-        return (f_new, f1, delta), (ptr, term)
+        term = jnp.max(masked, axis=1) + cum[None, :]  # [3, B]
+        return (f_new, f1, delta, cum), (ptr, term)
 
     xs = (
         batch.xb[1:], batch.yb[1:], batch.valid[1:],
         batch.s1[1:], batch.s2[1:],
     )
-    carry0 = (f0, jnp.full_like(f0, NEG), jnp.zeros((B,), dtype))
-    (_, _, _), (ptrs, terms) = jax.lax.scan(step, carry0, xs)
+    zb = jnp.zeros((B,), dtype)
+    carry0 = (f0, jnp.full_like(f0, NEG), zb, zb)
+    _, (ptrs, terms) = jax.lax.scan(step, carry0, xs)
 
     ptrs = jnp.concatenate(
         [jnp.zeros((1, Wp, B), jnp.uint8), ptrs], axis=0
@@ -124,6 +127,18 @@ def banded_nw(params_arr: jnp.ndarray, batch: DeviceBatch) -> NwResult:
         score=jnp.max(term_final, axis=-1),
         final_state=jnp.argmax(term_final, axis=-1),
     )
+
+
+def banded_nw_auto(params_arr: jnp.ndarray, batch: DeviceBatch) -> NwResult:
+    """banded_nw via the Pallas wavefront kernel on accelerators, the XLA
+    scan on CPU (override with MARGINALIGN_KERNEL=pallas|xla)."""
+    from .dispatch import use_pallas
+
+    if use_pallas():
+        from .wavefront_pallas import banded_nw_pallas
+
+        return banded_nw_pallas(params_arr, batch)
+    return banded_nw(params_arr, batch)
 
 
 def traceback(

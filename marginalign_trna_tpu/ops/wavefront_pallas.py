@@ -1,0 +1,286 @@
+"""Pallas TPU kernels for the max-plus banded wavefronts (guide Viterbi
+and MEA decode).
+
+These mirror the forward-backward kernel structure (ops/fb_pallas.py): the
+grid walks blocks of STEP_BLOCK anti-diagonals, VMEM scratch carries the DP
+frontier between blocks, per-step inputs/outputs stream through block
+specs.  Max-plus DPs are simpler than the probability ones: scores grow at
+most ~1 per diagonal, so f32 needs no rescaling at all — the per-step work
+is shifts, adds and maxes only.
+
+Replaces the XLA lax.scan implementations in ops/nw.py (guide alignment,
+reference role: LAST/BWA/minimap2 seed mappers, src/margin/mappers/*.py)
+and ops/mea.py (AMAP decode, reference role: cPecanRealign's posterior
+realignment, src/margin/marginAlignLib.py:315-318) on accelerators; the
+scan versions remain the CPU path and test oracle.
+
+Pointer encoding matches the scan engines exactly, so the host/native
+tracebacks are shared:
+  NW:  uint8  ptrM(2b) | ptrIx<<2 | ptrIy<<3
+  MEA: uint8  0=diag, 1=left/ref-skip, 2=up/read-skip
+(stored as int32 blocks on TPU — sub-byte band tiles don't lay out well at
+Wp=24 sublanes — and cast to uint8 on exit; traffic is still small next to
+the f32 weight streams).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fb import DeviceBatch
+from .fb_pallas import STEP_BLOCK, _pad_steps, _roll_shift, _use_interpret
+
+NEG = -1e30
+
+
+def _max_argmax3(v0, v1, v2):
+    m01 = jnp.maximum(v0, v1)
+    p01 = (v1 > v0).astype(jnp.int32)
+    m = jnp.maximum(m01, v2)
+    p = jnp.where(v2 > m01, 2, p01)
+    return m, p
+
+
+# ------------------------------------------------------------------ NW
+
+
+def _nw_kernel(
+    xb_ref, yb_ref, valid_ref, s1_ref, s2_ref, fink_ref, params_ref,
+    ptr_ref, tm_ref, tx_ref, ty_ref,
+    m1_ref, x1_ref, y1_ref, m2_ref, x2_ref, y2_ref,
+):
+    i = pl.program_id(0)
+    match = params_ref[0, 0]
+    mismatch = params_ref[0, 1]
+    gap_open = params_ref[0, 2]
+    gap_extend = params_ref[0, 3]
+
+    @pl.when(i == 0)
+    def _init():
+        neg = jnp.full_like(m1_ref[:, :], NEG)
+        row0 = jax.lax.broadcasted_iota(jnp.int32, neg.shape, 0) == 0
+        m1_ref[:, :] = jnp.where(row0, 0.0, NEG)
+        x1_ref[:, :] = neg
+        y1_ref[:, :] = neg
+        m2_ref[:, :] = neg
+        x2_ref[:, :] = neg
+        y2_ref[:, :] = neg
+
+    f1 = [m1_ref[:, :], x1_ref[:, :], y1_ref[:, :]]
+    f2 = [m2_ref[:, :], x2_ref[:, :], y2_ref[:, :]]
+
+    for kb in range(STEP_BLOCK):
+        # f32 comparisons: Mosaic rejects packed-int8 vector cmpi on TPU.
+        xb = xb_ref[kb].astype(jnp.float32)
+        yb = yb_ref[kb].astype(jnp.float32)
+        valid = valid_ref[kb].astype(jnp.float32) != 0.0
+        s1 = s1_ref[kb]
+        s2 = s2_ref[kb]
+
+        sub = jnp.where(
+            (xb == yb) & (xb < 4.0), match,
+            jnp.where((xb >= 4.0) | (yb >= 4.0), 0.0, mismatch),
+        )
+
+        # Match from (i-1, j-1): shift t = s2 - 1 in {-1, 0, 1}.
+        diag = [_roll_shift(f2[s], s2 == 2, s2 == 0) for s in range(3)]
+        m_val, m_ptr = _max_argmax3(diag[0], diag[1], diag[2])
+        m_val = m_val + sub
+
+        # Ix from (i, j-1): shift t = s1 in {0, 1}.
+        hz_m = _roll_shift(f1[0], s1 == 1, False)
+        hz_x = _roll_shift(f1[1], s1 == 1, False)
+        ix_open = hz_m + gap_open
+        ix_ext = hz_x + gap_extend
+        ix_val = jnp.maximum(ix_open, ix_ext)
+        ix_ptr = (ix_ext > ix_open).astype(jnp.int32)
+
+        # Iy from (i-1, j): shift t = s1 - 1 in {-1, 0}.
+        vt_m = _roll_shift(f1[0], False, s1 == 0)
+        vt_y = _roll_shift(f1[2], False, s1 == 0)
+        iy_open = vt_m + gap_open
+        iy_ext = vt_y + gap_extend
+        iy_val = jnp.maximum(iy_open, iy_ext)
+        iy_ptr = (iy_ext > iy_open).astype(jnp.int32)
+
+        new = [
+            jnp.where(valid, m_val, NEG),
+            jnp.where(valid, ix_val, NEG),
+            jnp.where(valid, iy_val, NEG),
+        ]
+        ptr = m_ptr | (ix_ptr << 2) | (iy_ptr << 3)
+
+        if kb == 0:
+            # d = 0 on the first grid step is pure initialisation.
+            is_first = i == 0
+            new = [jnp.where(is_first, f1[s], new[s]) for s in range(3)]
+            f2_next = [jnp.where(is_first, f2[s], f1[s]) for s in range(3)]
+            ptr = jnp.where(is_first, 0, ptr)
+        else:
+            f2_next = f1
+
+        kidx = jax.lax.broadcasted_iota(jnp.int32, new[0].shape, 0)
+        sel = kidx == fink_ref[kb]
+        tm_ref[kb] = jnp.where(sel, new[0], NEG).max(axis=0, keepdims=True)
+        tx_ref[kb] = jnp.where(sel, new[1], NEG).max(axis=0, keepdims=True)
+        ty_ref[kb] = jnp.where(sel, new[2], NEG).max(axis=0, keepdims=True)
+        ptr_ref[kb] = ptr
+        f1, f2 = new, f2_next
+
+    m1_ref[:, :], x1_ref[:, :], y1_ref[:, :] = f1
+    m2_ref[:, :], x2_ref[:, :], y2_ref[:, :] = f2
+
+
+@jax.jit
+def banded_nw_pallas(params_arr: jnp.ndarray, batch: DeviceBatch):
+    """Drop-in Pallas version of ops.nw.banded_nw (same NwResult fields)."""
+    from .nw import NwResult
+
+    D1, Wp, B = batch.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    xb = _pad_steps(batch.xb, D1K)
+    yb = _pad_steps(batch.yb, D1K)
+    valid = _pad_steps(batch.valid.astype(jnp.int8), D1K)
+    s1 = _pad_steps(batch.s1.astype(jnp.int32), D1K)[:, None, :]
+    s2 = _pad_steps(batch.s2.astype(jnp.int32), D1K)[:, None, :]
+    fink = jnp.broadcast_to(
+        batch.final_k.astype(jnp.int32)[None, None, :], (D1K, 1, B)
+    )
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    ptrs, tm, tx, ty = pl.pallas_call(
+        _nw_kernel,
+        grid=(G,),
+        in_specs=[blk3, blk3, blk3, blk2, blk2, blk2, full],
+        out_specs=[blk3, blk2, blk2, blk2],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.int32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Wp, B), jnp.float32) for _ in range(6)],
+        interpret=_use_interpret(),
+    )(xb, yb, valid, s1, s2, fink,
+      params_arr.astype(jnp.float32)[None, :])
+
+    d_idx = batch.final_d.astype(jnp.int32)
+    b_idx = jnp.arange(B)
+    term = jnp.stack(
+        [tm[d_idx, 0, b_idx], tx[d_idx, 0, b_idx], ty[d_idx, 0, b_idx]],
+        axis=-1,
+    )  # [B, 3]
+    return NwResult(
+        pointers=ptrs[:D1].astype(jnp.uint8),
+        score=jnp.max(term, axis=-1),
+        final_state=jnp.argmax(term, axis=-1),
+    )
+
+
+# ------------------------------------------------------------------ MEA
+
+
+def _mea_kernel(
+    wd_ref, wu_ref, wl_ref, valid_ref, s1_ref, s2_ref, fink_ref,
+    ptr_ref, term_ref,
+    a1_ref, a2_ref,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        neg = jnp.full_like(a1_ref[:, :], NEG)
+        row0 = jax.lax.broadcasted_iota(jnp.int32, neg.shape, 0) == 0
+        a1_ref[:, :] = jnp.where(row0, 0.0, NEG)
+        a2_ref[:, :] = neg
+
+    a1 = a1_ref[:, :]
+    a2 = a2_ref[:, :]
+
+    for kb in range(STEP_BLOCK):
+        valid = valid_ref[kb].astype(jnp.float32) != 0.0
+        s1 = s1_ref[kb]
+        s2 = s2_ref[kb]
+
+        diag = _roll_shift(a2, s2 == 2, s2 == 0) + wd_ref[kb]
+        left = _roll_shift(a1, s1 == 1, False) + wl_ref[kb]
+        up = _roll_shift(a1, False, s1 == 0) + wu_ref[kb]
+
+        # ptr order matches ops.mea.banded_mea: 0=diag, 1=left, 2=up.
+        a_new, ptr = _max_argmax3(diag, left, up)
+        a_new = jnp.where(valid, a_new, NEG)
+
+        if kb == 0:
+            is_first = i == 0
+            a_new = jnp.where(is_first, a1, a_new)
+            a2_next = jnp.where(is_first, a2, a1)
+            ptr = jnp.where(is_first, 0, ptr)
+        else:
+            a2_next = a1
+
+        kidx = jax.lax.broadcasted_iota(jnp.int32, a_new.shape, 0)
+        sel = kidx == fink_ref[kb]
+        term_ref[kb] = jnp.where(sel, a_new, NEG).max(axis=0, keepdims=True)
+        ptr_ref[kb] = ptr
+        a1, a2 = a_new, a2_next
+
+    a1_ref[:, :] = a1
+    a2_ref[:, :] = a2
+
+
+@jax.jit
+def banded_mea_pallas(
+    wdiag, wup, wleft, valid, s1, s2, final_d, final_k
+):
+    """Drop-in Pallas version of ops.mea.banded_mea (same MeaResult)."""
+    from .mea import MeaResult
+
+    D1, Wp, B = wdiag.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    wd = _pad_steps(wdiag, D1K)
+    wu = _pad_steps(wup, D1K)
+    wl = _pad_steps(wleft, D1K)
+    va = _pad_steps(valid.astype(jnp.int8), D1K)
+    s1p = _pad_steps(s1.astype(jnp.int32), D1K)[:, None, :]
+    s2p = _pad_steps(s2.astype(jnp.int32), D1K)[:, None, :]
+    fink = jnp.broadcast_to(
+        final_k.astype(jnp.int32)[None, None, :], (D1K, 1, B)
+    )
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    ptrs, terms = pl.pallas_call(
+        _mea_kernel,
+        grid=(G,),
+        in_specs=[blk3, blk3, blk3, blk3, blk2, blk2, blk2],
+        out_specs=[blk3, blk2],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.int32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Wp, B), jnp.float32) for _ in range(2)],
+        interpret=_use_interpret(),
+    )(wd, wu, wl, va, s1p, s2p, fink)
+
+    d_idx = final_d.astype(jnp.int32)
+    b_idx = jnp.arange(B)
+    return MeaResult(
+        pointers=ptrs[:D1].astype(jnp.uint8),
+        score=terms[d_idx, 0, b_idx],
+    )
