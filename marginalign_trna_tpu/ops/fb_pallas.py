@@ -82,6 +82,16 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _compiler_params():
+    """Optional scoped-VMEM budget override (MARGINALIGN_VMEM_LIMIT_MB).
+    Larger STEP_BLOCKs need more than the 16MB default scoped limit for
+    their double-buffered streams."""
+    mb = __import__("os").environ.get("MARGINALIGN_VMEM_LIMIT_MB")
+    if not mb:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(mb) * 1024 * 1024)
+
+
 def _roll_up(a):
     """out[k] = a[k+1] (circular; pltpu.roll needs non-negative shifts)."""
     return pltpu.roll(a, a.shape[0] - 1, axis=0)
@@ -409,6 +419,8 @@ def _run_forward(tables, batch, st):
                pltpu.VMEM((1, B), jnp.float32)]
         ),
         interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
     )
     if st is None:
         fm_out, lsf2, term2 = pl.pallas_call(
@@ -624,6 +636,8 @@ def _run_backward(tables, batch, fwd: PallasFwdResult, st):
                pltpu.VMEM((1, B), jnp.float32)]
         ),
         interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
     )
     args = [
         fwd.F_match,
@@ -949,6 +963,8 @@ def _posteriors_pre(st, gc, batch: DeviceBatch):
         ],
         scratch_shapes=scratch,
         interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
     )(ematch, valid, s1, s2, fink)
 
     lsf = lsf2[:, 0, :]
@@ -977,6 +993,8 @@ def _posteriors_pre(st, gc, batch: DeviceBatch):
         out_shape=[jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32)],
         scratch_shapes=scratch,
         interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
     )(
         fm_out,
         lsf2,
@@ -987,3 +1005,346 @@ def _posteriors_pre(st, gc, batch: DeviceBatch):
         logZ[None, :],
     )[0]
     return logZ, post[:D1]
+
+
+# ------------------- multi-problem lanes (short-read / tRNA packing) ------
+
+
+class MultiDeviceBatch(NamedTuple):
+    """Device streams of a band.MultiBandedBatch plus per-problem indices."""
+
+    xb: jnp.ndarray          # [D1, Wp, B] int8
+    yb: jnp.ndarray          # [D1, Wp, B] int8
+    valid: jnp.ndarray       # [D1, Wp, B] int8
+    s1: jnp.ndarray          # [D1, B] int32
+    s2: jnp.ndarray          # [D1, B] int32
+    start: jnp.ndarray       # [D1, B] int8
+    find: jnp.ndarray        # [D1, B] int32 (-1 off terminal steps)
+    fink: jnp.ndarray        # [D1, B] int32 (-1 off terminal steps)
+    step_final: jnp.ndarray  # [D1, B] int32
+    p_final_d: jnp.ndarray   # [P] int32
+    p_lane: jnp.ndarray      # [P] int32
+    p_d0: jnp.ndarray        # [P] int32
+
+
+def multi_device_batch(mb) -> MultiDeviceBatch:
+    """band.MultiBandedBatch -> device streams."""
+    import numpy as _np
+
+    return MultiDeviceBatch(
+        xb=jnp.asarray(mb.xb),
+        yb=jnp.asarray(mb.yb),
+        valid=jnp.asarray(mb.valid.astype(_np.int8)),
+        s1=jnp.asarray(mb.s1.astype(_np.int32)),
+        s2=jnp.asarray(mb.s2.astype(_np.int32)),
+        start=jnp.asarray(mb.start),
+        find=jnp.asarray(mb.find),
+        fink=jnp.asarray(mb.fink_steps),
+        step_final=jnp.asarray(mb.step_final),
+        p_final_d=jnp.asarray(mb.final_d.astype(_np.int32)),
+        p_lane=jnp.asarray(
+            _np.array([p.lane for p in mb.problems], _np.int32)
+        ),
+        p_d0=jnp.asarray(
+            _np.array([p.d0 for p in mb.problems], _np.int32)
+        ),
+    )
+
+
+def _make_fwd_kernel_pre_multi(st, gc):
+    """Specialised forward with in-stream start injections: each problem's
+    local d = 0 seeds the start distribution at band row 0 (spacer steps
+    have zeroed the frontier, so the recurrence contributes nothing there).
+    No first-step special case: the scratch frontier starts at zero."""
+    T = st[0]
+
+    def kernel(
+        em_ref, valid_ref, s1_ref, s2_ref, fink_ref, start_ref,
+        fm_out_ref, lsf_ref, term_ref,
+        f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
+        ls_ref, cprev_ref,
+    ):
+        f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
+        f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            zero = jnp.zeros_like(f1_refs[0][:, :])
+            for s in range(_NSTATE):
+                f1_refs[s][:, :] = zero
+                f2_refs[s][:, :] = zero
+            ls_ref[:, :] = jnp.zeros_like(ls_ref)
+            cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+
+        f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
+        f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
+        ls = ls_ref[:, :]
+        cprev = cprev_ref[:, :]
+        zero_arr = jnp.zeros_like(f1[0])
+
+        def mix(vals, t, coeff=1.0):
+            acc = None
+            for s in range(_NSTATE):
+                v = T[s][t] * coeff
+                if v == 0.0:
+                    continue
+                term = vals[s] * v
+                acc = term if acc is None else acc + term
+            return acc
+
+        for kb in range(STEP_BLOCK):
+            e_match = em_ref[kb]
+            valid = valid_ref[kb].astype(jnp.float32)
+            s1 = s1_ref[kb]
+            s2 = s2_ref[kb]
+
+            mix_m = mix(f2, 0)
+            mix_m = mix_m if mix_m is not None else zero_arr
+            if _fwd_divide_step(kb):
+                mix_m = mix_m / cprev
+            mix_g = [mix(f1, t, gc[t - 1]) for t in range(1, _NSTATE)]
+            mix_g = [m if m is not None else zero_arr for m in mix_g]
+
+            kidx = jax.lax.broadcasted_iota(jnp.int32, zero_arr.shape, 0)
+            inj = jnp.where(
+                (kidx == 0) & (start_ref[kb] != 0), 0.2, 0.0
+            )
+
+            new = [None] * _NSTATE
+            new[0] = (e_match * _roll_shift(mix_m, s2 == 2, s2 == 0)
+                      * valid + inj)
+            for s in (1, 3):
+                new[s] = _roll_shift(
+                    mix_g[s - 1], s1 == 1, False) * valid + inj
+            for s in (2, 4):
+                new[s] = _roll_shift(
+                    mix_g[s - 1], False, s1 == 0) * valid + inj
+
+            rescale = _fwd_rescale_step(kb)
+            sel = (kidx == fink_ref[kb]).astype(jnp.float32)
+            term = (_sum5(new) * sel).sum(axis=0, keepdims=True)
+            if rescale:
+                fmax = _max5(new).max(axis=0, keepdims=True)
+                c = jnp.where(fmax > 0, fmax, 1.0)
+                inv_c = 1.0 / c
+                term = term * inv_c
+                scaled = [new[s] * inv_c for s in range(_NSTATE)]
+                ls = ls + jnp.log(c)
+                cprev = c
+            else:
+                scaled = new
+
+            fm_out_ref[kb] = scaled[0]
+            lsf_ref[kb] = ls
+            term_ref[kb] = term
+            f1, f2 = scaled, f1
+
+        for s in range(_NSTATE):
+            f1_refs[s][:, :] = f1[s]
+            f2_refs[s][:, :] = f2[s]
+        ls_ref[:, :] = ls
+        cprev_ref[:, :] = cprev
+
+    return kernel
+
+
+def _make_bwd_kernel_pre_multi(st, gc):
+    """Specialised backward for multi-problem lanes: the per-step find/fink
+    streams inject 1 at every problem's terminal cell, the cumulative
+    backward scale resets there (so each problem's scale baseline is 0),
+    and the per-step L stream carries the owning problem's
+    log(term) + lsf(final_d) so posteriors normalise per problem."""
+    T = st[0]
+
+    def kernel(
+        fm_ref, lsf_ref, valid_ref, em2_ref, s1n_ref, s2n_ref,
+        fink_ref, find_ref, L_ref,
+        post_ref,
+        b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
+        bls_ref, cprev_ref,
+    ):
+        b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
+        b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
+        i = pl.program_id(0)
+        K = STEP_BLOCK
+
+        @pl.when(i == 0)
+        def _init():
+            zero = jnp.zeros_like(b1_refs[0][:, :])
+            for s in range(_NSTATE):
+                b1_refs[s][:, :] = zero
+                b2_refs[s][:, :] = zero
+            bls_ref[:, :] = jnp.zeros_like(bls_ref)
+            cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+
+        b1 = [b1_refs[s][:, :] for s in range(_NSTATE)]
+        b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
+        bls = bls_ref[:, :]
+        cprev = cprev_ref[:, :]
+
+        blk_base = (pl.num_programs(0) - 1 - i) * K
+        for t in range(K):
+            kb = K - 1 - t
+            d = blk_base + kb
+
+            valid = valid_ref[kb].astype(jnp.float32)
+            s1n = s1n_ref[kb]
+            s2n = s2n_ref[kb]
+
+            q = [None] * _NSTATE
+            q[0] = _roll_shift(em2_ref[kb] * b2[0], s2n == 0, s2n == 2)
+            if _bwd_divide_step(kb):
+                q[0] = q[0] / cprev
+            for s in (1, 3):
+                q[s] = _roll_shift(b1[s], False, s1n == 1)
+            for s in (2, 4):
+                q[s] = _roll_shift(b1[s], s1n == 0, False)
+
+            kidx = jax.lax.broadcasted_iota(jnp.int32, q[0].shape, 0)
+            is_term = find_ref[kb] == d  # [1, B]
+            inj = jnp.where((kidx == fink_ref[kb]) & is_term, 1.0, 0.0)
+
+            zero_arr = jnp.zeros_like(q[0])
+            new = [None] * _NSTATE
+            for s in range(_NSTATE):
+                acc = None
+                for u in range(_NSTATE):
+                    v = T[s][u] * (1.0 if u == 0 else gc[u - 1])
+                    if v == 0.0:
+                        continue
+                    term = q[u] * v
+                    acc = term if acc is None else acc + term
+                if acc is None:
+                    acc = zero_arr
+                new[s] = (acc + inj) * valid
+
+            # Per-problem scale baseline: reset at terminal steps.
+            bls = jnp.where(is_term, 0.0, bls)
+            if _bwd_rescale_step(kb):
+                bmax = _max5(new).max(axis=0, keepdims=True)
+                c = jnp.where(bmax > 0, bmax, 1.0)
+                inv_c = 1.0 / c
+                bls = bls + jnp.log(c)
+                cprev = c
+                b_out = [new[s] * inv_c for s in range(_NSTATE)]
+            else:
+                b_out = new
+
+            alpha = jnp.exp(lsf_ref[kb] + bls - L_ref[kb])
+            post_ref[kb] = fm_ref[kb] * b_out[0] * alpha
+
+            b2 = b1
+            b1 = b_out
+
+        for s in range(_NSTATE):
+            b1_refs[s][:, :] = b1[s]
+            b2_refs[s][:, :] = b2[s]
+        bls_ref[:, :] = bls
+        cprev_ref[:, :] = cprev
+
+    return kernel
+
+
+def _posteriors_pre_multi(st, gc, mdev: MultiDeviceBatch):
+    D1, Wp, B = mdev.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    valid = _pad_steps(mdev.valid, D1K)
+    s1 = _pad_steps(mdev.s1, D1K)[:, None, :]
+    s2 = _pad_steps(mdev.s2, D1K)[:, None, :]
+    start = _pad_steps(mdev.start, D1K)[:, None, :]
+    fink = jnp.pad(mdev.fink, [(0, D1K - D1), (0, 0)],
+                   constant_values=-1)[:, None, :]
+    find = jnp.pad(mdev.find, [(0, D1K - D1), (0, 0)],
+                   constant_values=-1)[:, None, :]
+
+    xb = _pad_steps(mdev.xb, D1K)
+    yb = _pad_steps(mdev.yb, D1K)
+    ematch = _precompute_ematch(st, xb, yb)
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    scratch = (
+        [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+        + [pltpu.VMEM((1, B), jnp.float32), pltpu.VMEM((1, B), jnp.float32)]
+    )
+
+    fm_out, lsf2, term2 = pl.pallas_call(
+        _make_fwd_kernel_pre_multi(st, gc),
+        grid=(G,),
+        in_specs=[blk3, blk3, blk2, blk2, blk2, blk2],
+        out_specs=[blk3, blk2, blk2],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
+    )(ematch, valid, s1, s2, fink, start)
+
+    lsf = lsf2[:, 0, :]   # [D1K, B]
+    term = term2[:, 0, :]
+    # Per-step L = log(term) + lsf at the owning problem's terminal step.
+    logterm = jnp.log(jnp.maximum(term, 1e-30)) + lsf
+    sf = _pad_steps(mdev.step_final, D1K)
+    L = jnp.take_along_axis(logterm, sf, axis=0)  # [D1K, B]
+
+    # Per-problem true logZ: L at the terminal step minus the forward
+    # scale baseline (lsf just before the start injection).
+    pf = mdev.p_final_d
+    pl_ = mdev.p_lane
+    p0 = mdev.p_d0
+    base = jnp.where(p0 > 0, lsf[jnp.maximum(p0 - 1, 0), pl_], 0.0)
+    logZ = logterm[pf, pl_] - base
+
+    rev3 = pl.BlockSpec((K, Wp, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rev2 = pl.BlockSpec((K, 1, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    em_pad2 = jnp.pad(ematch, [(0, 2), (0, 0), (0, 0)])
+    s1_p = jnp.pad(s1, [(0, 2), (0, 0), (0, 0)])
+    s2_p = jnp.pad(s2, [(0, 2), (0, 0), (0, 0)])
+
+    post = pl.pallas_call(
+        _make_bwd_kernel_pre_multi(st, gc),
+        grid=(G,),
+        in_specs=[rev3, rev2, rev3, rev3, rev2, rev2, rev2, rev2, rev2],
+        out_specs=[rev3],
+        out_shape=[jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32)],
+        scratch_shapes=scratch,
+        interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
+    )(
+        fm_out,
+        lsf2,
+        valid,
+        em_pad2[2 : D1K + 2],
+        s1_p[1 : D1K + 1], s2_p[2 : D1K + 2],
+        fink, find,
+        L[:, None, :],
+    )[0]
+    return logZ, post[:D1]
+
+
+@functools.partial(jax.jit, static_argnames=("st",))
+def _posteriors_multi_static(st, mdev: MultiDeviceBatch):
+    gc = _flat_gap_consts(st)
+    assert gc is not None, "multi-problem path needs flat gap emissions"
+    return _posteriors_pre_multi(st, gc, mdev)
+
+
+def posteriors_pallas_multi(tables: FbTables, mdev: MultiDeviceBatch):
+    """(logZ [P], posterior band [D1, Wp, B]) over multi-problem lanes
+    (band.pack_multi_banded_batch).  Model-specialised, flat-gap models
+    (all shipped/normalised ones)."""
+    return _posteriors_multi_static(static_tables(tables), mdev)
