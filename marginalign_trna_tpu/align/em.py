@@ -92,21 +92,63 @@ def _m_step(
     return new
 
 
-def expectation_step(
+def _use_multi_em(jobs, band_width: int) -> bool:
+    """Multi-problem lane packing for the E-step: accelerator + short
+    problems (the counts kernels are dynamic-table, so in-training non-flat
+    emissions are fine).  Override with MARGINALIGN_MULTI=on|off."""
+    import os as _os
+
+    mode = _os.environ.get("MARGINALIGN_MULTI", "")
+    if mode == "off":
+        return False
+    if mode == "on":
+        return bool(jobs)
+    from ..ops.dispatch import use_pallas
+    from .realign import MULTI_MAX_PROBLEM_STEPS
+
+    return bool(jobs) and use_pallas() and max(
+        len(j.read_region) + len(j.ref_region) + 1 for j in jobs
+    ) <= MULTI_MAX_PROBLEM_STEPS
+
+
+def prepare_em_batches(
     jobs: Sequence[RealignJob],
-    buckets: List[List[int]],
-    hmm: PairHmm,
     band_width: int = DEFAULT_BAND_WIDTH,
-    psum_fn=None,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
-    """Expected counts + total log-likelihood over all jobs.  psum_fn, when
-    given, merges count tensors across the data-parallel mesh axis."""
-    tables = make_tables(hmm)
-    tc = np.zeros((5, 5))
-    em = np.zeros((5, 5))
-    eg = np.zeros((5, 5))
-    total_ll = 0.0
-    for bucket in buckets:
+    max_batch_cells: int = 12_000_000,
+) -> List[Tuple[str, object, int]]:
+    """Pack jobs into device-resident E-step batches ONCE per training run
+    (band geometry is iteration-invariant).  Returns
+    ("single", DeviceBatch, n_real) or ("multi", MultiDeviceBatch, P)."""
+    from ..ops.band import pack_multi_banded_batch
+    from ..ops.fb_pallas import multi_device_batch
+
+    out: List[Tuple[str, object, int]] = []
+    if _use_multi_em(jobs, band_width):
+        d1 = 1024
+        max_lanes = max(1, max_batch_cells // (d1 * band_width))
+        chunk: List[RealignJob] = []
+        steps = 0
+        chunks = []
+        for j in jobs:
+            need = len(j.read_region) + len(j.ref_region) + 3
+            if chunk and -(-(steps + need) // d1) > max_lanes:
+                chunks.append(chunk)
+                chunk, steps = [], 0
+            chunk.append(j)
+            steps += need
+        if chunk:
+            chunks.append(chunk)
+        for chunk in chunks:
+            mb = pack_multi_banded_batch(
+                [j.read_region for j in chunk],
+                [j.ref_region for j in chunk],
+                width=band_width,
+                paths=[j.path for j in chunk],
+                pad_steps_to=d1,
+            )
+            out.append(("multi", multi_device_batch(mb), len(chunk)))
+        return out
+    for bucket in _bucket_jobs(jobs, band_width, max_batch_cells):
         batch = pack_banded_batch(
             [jobs[i].read_region for i in bucket],
             [jobs[i].ref_region for i in bucket],
@@ -114,16 +156,40 @@ def expectation_step(
             paths=[jobs[i].path for i in bucket],
             quantize=True,
         )
-        from ..ops.dispatch import fb_counts
-        from ..parallel.runtime import with_retries
+        out.append(("single", device_batch(batch), len(bucket)))
+    return out
 
-        logZ, tc_b, em_b, eg_b = with_retries(
-            lambda b=batch: fb_counts(tables, device_batch(b))
-        )
+
+def expectation_step(
+    batches: List[Tuple[str, object, int]],
+    hmm: PairHmm,
+    psum_fn=None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    """Expected counts + total log-likelihood over prepared batches
+    (prepare_em_batches).  psum_fn, when given, merges count tensors
+    across the data-parallel mesh axis."""
+    tables = make_tables(hmm)
+    tc = np.zeros((5, 5))
+    em = np.zeros((5, 5))
+    eg = np.zeros((5, 5))
+    total_ll = 0.0
+    from ..ops.dispatch import fb_counts, fb_counts_multi
+    from ..parallel.runtime import with_retries
+
+    for kind, dev, n_real in batches:
+        if kind == "multi":
+            logZ, tc_b, em_b, eg_b = with_retries(
+                lambda d=dev: fb_counts_multi(tables, d)
+            )
+            total_ll += float(np.sum(np.asarray(logZ)[:n_real]))
+        else:
+            logZ, tc_b, em_b, eg_b = with_retries(
+                lambda d=dev: fb_counts(tables, d)
+            )
+            total_ll += float(np.sum(np.asarray(logZ)[:n_real]))
         tc += np.asarray(tc_b, dtype=np.float64)
         em += np.asarray(em_b, dtype=np.float64)
         eg += np.asarray(eg_b, dtype=np.float64)
-        total_ll += float(np.sum(np.asarray(logZ)[: len(bucket)]))
     if psum_fn is not None:
         tc, em, eg, total_ll = psum_fn(tc, em, eg, total_ll)
     return tc, em, eg, total_ll
@@ -186,7 +252,8 @@ def train_em(
             def psum_fn(tc, em, eg, ll):
                 return allreduce_sum_host(tc, em, eg, ll)
 
-    buckets = _bucket_jobs(jobs, options.band_width, options.max_batch_cells)
+    batches = prepare_em_batches(jobs, options.band_width,
+                                 options.max_batch_cells)
 
     ckpt = EmCheckpoint.try_load(checkpoint_path)
     start_trial = ckpt.trial if ckpt else 0
@@ -221,9 +288,7 @@ def train_em(
         if options.tie_emissions:
             _tie_gap_emissions(hmm)
         for it in range(start_iter, options.iterations):
-            tc, em, eg, new_ll = expectation_step(
-                jobs, buckets, hmm, options.band_width, psum_fn
-            )
+            tc, em, eg, new_ll = expectation_step(batches, hmm, psum_fn)
             hmm = _m_step(hmm, tc, em, eg, options.train_emissions)
             hmm.apply_model_type_constraints()
             if options.tie_emissions:

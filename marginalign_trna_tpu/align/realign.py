@@ -89,6 +89,33 @@ def _bucket_jobs(
     return buckets
 
 
+MULTI_MAX_PROBLEM_STEPS = 512  # multi-pack lanes when every job fits this
+
+
+def _use_multi_packing(jobs, hmm) -> bool:
+    """Multi-problem lane packing policy: accelerator + short problems +
+    flat gap emissions (all shipped/normalised models).  Override with
+    MARGINALIGN_MULTI=on|off."""
+    import os as _os
+
+    mode = _os.environ.get("MARGINALIGN_MULTI", "")
+    if mode == "off":
+        return False
+    from ..ops.dispatch import use_pallas
+    from ..ops.fb import make_tables as _mk
+    from ..ops.fb_pallas import _flat_gap_consts, static_tables
+
+    if not jobs:
+        return False
+    if mode != "on":
+        if not use_pallas():
+            return False
+        if max(len(j.read_region) + len(j.ref_region) + 1
+               for j in jobs) > MULTI_MAX_PROBLEM_STEPS:
+            return False
+    return _flat_gap_consts(static_tables(_mk(hmm))) is not None
+
+
 def realigned_ops_for_jobs(
     jobs: Sequence[RealignJob],
     hmm: PairHmm,
@@ -100,6 +127,33 @@ def realigned_ops_for_jobs(
     """Run FB + MEA for every job; returns realigned aligned-region ops."""
     tables = make_tables(hmm)
     results: List[Optional[List[Tuple[int, int]]]] = [None] * len(jobs)
+
+    if _use_multi_packing(jobs, hmm):
+        # Short-read (tRNA-scale) jobs: several problems per lane recover
+        # the ~5x step-padding waste of quantized batches (ops/band.py
+        # pack_multi_banded_batch).
+        from ..ops.band import pack_multi_banded_batch
+        from ..ops.fb_pallas import (
+            multi_device_batch, posteriors_pallas_multi,
+        )
+        from ..ops.mea import mea_decode_multi
+        from ..parallel.runtime import with_retries
+
+        mb = pack_multi_banded_batch(
+            [j.read_region for j in jobs],
+            [j.ref_region for j in jobs],
+            width=band_width,
+            paths=[j.path for j in jobs],
+        )
+
+        def _run_multi():
+            _, post_dev = posteriors_pallas_multi(
+                tables, multi_device_batch(mb)
+            )
+            return mea_decode_multi(post_dev, mb, gap_gamma, match_gamma)
+
+        return with_retries(_run_multi)
+
     for bucket in _bucket_jobs(jobs, band_width, max_batch_cells):
         reads = [jobs[i].read_region for i in bucket]
         refs = [jobs[i].ref_region for i in bucket]

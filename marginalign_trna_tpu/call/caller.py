@@ -81,6 +81,43 @@ def accumulate_expectations(
     from ..ops.expectations import band_expectations
     from ..parallel.runtime import with_retries
 
+    from ..align.realign import _use_multi_packing
+
+    if _use_multi_packing(jobs, alignment_hmm):
+        # Short-read jobs: multi-problem lanes (ops/band.py).
+        from ..ops.band import pack_multi_banded_batch
+        from ..ops.expectations import multi_band_expectations
+        from ..ops.fb_pallas import (
+            multi_device_batch, posteriors_pallas_multi,
+        )
+
+        mb = pack_multi_banded_batch(
+            [j.read_region for j in jobs],
+            [j.ref_region for j in jobs],
+            width=options.band_width,
+            paths=[j.path for j in jobs],
+        )
+        starts = np.array(
+            [global_off[j.record.rname] + j.record.reference_start
+             for j in jobs], dtype=np.int64,
+        )
+
+        def _run_multi():
+            _, post_dev = posteriors_pallas_multi(
+                tables, multi_device_batch(mb)
+            )
+            acc = np.zeros_like(exp_global)
+            multi_band_expectations(post_dev, mb, starts, acc)
+            return acc
+
+        exp_global += with_retries(_run_multi)
+        for name in ref_names:
+            off = global_off[name]
+            expectations[name] += exp_global[
+                off : off + len(ref_sequences[name])
+            ]
+        return expectations
+
     for bucket in _bucket_jobs(jobs, options.band_width,
                                options.max_batch_cells):
         batch = pack_banded_batch(

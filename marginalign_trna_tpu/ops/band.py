@@ -277,6 +277,8 @@ class MultiBandedBatch(BandedBatch):
     # Per-problem step->problem-final map for the device L stream:
     step_final: np.ndarray = None  # [D1, B] int32: final_d of owning
     # problem for every in-problem step (self otherwise)
+    dloc: np.ndarray = None  # [D1, B] int32: local diagonal d - d0 of the
+    # owning problem (0 at spacers/padding), for local (i, j) coordinates
 
 
 def pack_multi_banded_batch(
@@ -329,6 +331,7 @@ def pack_multi_banded_batch(
     find = np.full((D1, B), -1, dtype=np.int32)
     fink_steps = np.full((D1, B), -1, dtype=np.int32)
     step_final = np.zeros((D1, B), dtype=np.int32)
+    dloc = np.zeros((D1, B), dtype=np.int32)
 
     ks = np.arange(Wp, dtype=np.int64)[None, :]
     problems: List[Optional[PackedProblem]] = [None] * P
@@ -364,6 +367,7 @@ def pack_multi_banded_batch(
             find[d0 + D, li] = d0 + D
             fink_steps[d0 + D, li] = m - lo[-1]
             step_final[sl, li] = d0 + D
+            dloc[sl, li] = np.arange(D + 1, dtype=np.int32)
             problems[p] = PackedProblem(
                 lane=li, d0=d0, final_d=d0 + D, final_k=int(m - lo[-1]),
                 m=m, n=n,
@@ -381,7 +385,7 @@ def pack_multi_banded_batch(
         width=width,
         start=start, find=find, fink_steps=fink_steps,
         problems=[problems[p] for p in range(P)],
-        step_final=step_final,
+        step_final=step_final, dloc=dloc,
     )
 
 

@@ -39,6 +39,19 @@ def fb_posteriors(
     return res.logZ, res.posteriors
 
 
+def fb_counts_multi(tables: FbTables, mdev):
+    """EM expected counts over multi-problem lanes (always Pallas; the
+    multi streams only exist for the Pallas kernels — interpret mode covers
+    CPU).  logZ is per problem [P]."""
+    from .fb_pallas_counts import (
+        counts_pallas_multi, match_counts_from_posteriors_multi,
+    )
+
+    res = counts_pallas_multi(tables, mdev)
+    em = match_counts_from_posteriors_multi(res.posteriors, mdev)
+    return res.logZ, res.trans_counts, em, res.emit_gap
+
+
 def fb_counts(tables: FbTables, batch: DeviceBatch):
     """(logZ [B], trans_counts [5,5], emit_match [5,5], emit_gap [5,5]) via
     the active kernel (EM E-step)."""

@@ -168,3 +168,128 @@ def band_expectations_host(
         ref_pos = ref_offsets[b] + j_idx[ok][keep] - 1
         np.add.at(exp, (ref_pos, codes[keep]), p[keep])
     return exp
+
+
+# ----------------------- multi-problem lanes (short-read packing) ---------
+
+
+@partial(jax.jit, static_argnames=("width", "rg"))
+def _expectations_multi_device(post, valid, yb, lo, dloc, e1,
+                               width: int, rg: int):
+    """[4, rg, B] per-lane expected base counts over per-lane virtual
+    reference spaces (each packed problem owns a disjoint window; the host
+    adds the windows into the real per-reference arrays)."""
+    D1, Wp, B = post.shape
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, Wp, 1), 1)
+    i = lo[:, None, :].astype(jnp.int32) + k
+    j = dloc[:, None, :].astype(jnp.int32) - i
+    ok = valid & (i >= 1) & (j >= 1)
+
+    def per_code(c):
+        wc = jnp.where(ok & (yb == c), post, 0.0)
+        sp = jnp.concatenate(
+            [jnp.zeros((1, Wp, B), post.dtype), jnp.cumsum(wc, axis=0)],
+            axis=0,
+        )
+        acc = jnp.zeros((rg, B), post.dtype)
+        for kk in range(width):
+            gk = jnp.take_along_axis(
+                sp[:, kk, :], e1[kk : kk + rg + 1, :], axis=0
+            )
+            acc = acc + (gk[1:] - gk[:-1])
+        return acc
+
+    return jax.lax.map(per_code, jnp.arange(4, dtype=jnp.int8))
+
+
+def _lane_virtual_offsets(mb, per_problem_size):
+    """Assign each packed problem a disjoint window in a per-lane virtual
+    space, in lane (d0) order.  per_problem_size(p) -> window size needed
+    (plus the band-width slack the held gu value can reach)."""
+    by_lane = {}
+    for p, pr in enumerate(mb.problems):
+        by_lane.setdefault(pr.lane, []).append(p)
+    voff = np.zeros(len(mb.problems), dtype=np.int64)
+    vmax = 1
+    for lane, plist in by_lane.items():
+        plist.sort(key=lambda q: mb.problems[q].d0)
+        cur = 0
+        for p in plist:
+            voff[p] = cur
+            cur += per_problem_size(p) + mb.width + 1
+        vmax = max(vmax, cur)
+    return voff, vmax
+
+
+def _multi_gu(mb, voff, coord: str) -> np.ndarray:
+    """Monotone per-lane virtual-position stream gu [D1, B]:
+    coord='ref':  voff_p + dloc - lo   (position j at band row -k-1 shift)
+    coord='read': voff_p + lo          (position i at band row +k shift)
+    Values hold across spacers (voff spacing keeps them monotone)."""
+    D1, B = mb.lo.shape
+    gu = np.zeros((D1, B), dtype=np.int64)
+    by_lane = {}
+    for p, pr in enumerate(mb.problems):
+        by_lane.setdefault(pr.lane, []).append(p)
+    for lane, plist in by_lane.items():
+        plist.sort(key=lambda q: mb.problems[q].d0)
+        prev_end = 0
+        held = 0
+        for p in plist:
+            pr = mb.problems[p]
+            sl = slice(pr.d0, pr.final_d + 1)
+            lo = mb.lo[sl, lane].astype(np.int64)
+            if coord == "ref":
+                seg = voff[p] + mb.dloc[sl, lane].astype(np.int64) - lo
+            else:
+                seg = voff[p] + lo
+            gu[prev_end : pr.d0, lane] = held
+            gu[sl, lane] = seg
+            held = seg[-1]
+            prev_end = pr.final_d + 1
+        gu[prev_end:, lane] = held
+    return gu
+
+
+def _multi_boundaries(gu: np.ndarray, tmin: int, tmax: int) -> np.ndarray:
+    """E1[t - tmin, b] = #{d : gu(d, b) <= t} for t in [tmin, tmax], int32."""
+    D1, B = gu.shape
+    e1 = np.zeros((tmax - tmin + 1, B), dtype=np.int32)
+    ts = np.arange(tmin, tmax + 1, dtype=np.int64)
+    for b in range(B):
+        e1[:, b] = np.searchsorted(gu[:, b], ts, side="right")
+    return e1
+
+
+def multi_band_expectations(
+    post,
+    mb,
+    prob_ref_starts: np.ndarray,
+    exp_global: np.ndarray,
+) -> None:
+    """Accumulate expected base counts from a multi-problem posterior batch
+    into exp_global [total_ref_len, 4] (in place).
+
+    prob_ref_starts[p] = global position of problem p's reference window."""
+    voff, vmax = _lane_virtual_offsets(
+        mb, lambda p: mb.problems[p].n
+    )
+    rg = _round_up(max(int(vmax), 1), 256)
+    gu = _multi_gu(mb, voff, "ref")
+    e1 = _multi_boundaries(gu, 0, rg + mb.width)
+    out = np.asarray(
+        _expectations_multi_device(
+            jnp.asarray(post),
+            jnp.asarray(mb.valid),
+            jnp.asarray(mb.yb),
+            jnp.asarray(mb.lo),
+            jnp.asarray(mb.dloc),
+            jnp.asarray(e1),
+            width=mb.width,
+            rg=rg,
+        )
+    )  # [4, rg, B]
+    for p, pr in enumerate(mb.problems):
+        g0 = int(prob_ref_starts[p])
+        exp_global[g0 : g0 + pr.n, :] += out[:, voff[p] : voff[p] + pr.n,
+                                             pr.lane].T

@@ -412,3 +412,366 @@ def match_counts_from_posteriors(
         for cc in range(5):
             out = out.at[a, cc].set(jnp.where(yi == cc, pa, 0.0).sum())
     return out
+
+
+# ------------------- multi-problem lanes (short-read / tRNA EM) -----------
+
+
+def _fwd_all_kernel_multi(
+    xb_ref, yb_ref, valid_ref, s1_ref, s2_ref, fink_ref, start_ref,
+    T_ref, Em_ref, Eg_ref,
+    f_out_ref, lsf_ref, term_ref,
+    f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
+    ls_ref, cprev_ref,
+):
+    """All-states forward over multi-problem lanes (dynamic tables): each
+    problem's local d = 0 seeds the start distribution in-stream (spacers
+    have zeroed the frontier), exactly as fb_pallas's multi forward."""
+    T = _TableView.from_ref(T_ref)
+    Em = _TableView.from_ref(Em_ref)
+    Eg = _TableView.from_ref(Eg_ref)
+    f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
+    f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        zero = jnp.zeros_like(f1_refs[0][:, :])
+        for s in range(_NSTATE):
+            f1_refs[s][:, :] = zero
+            f2_refs[s][:, :] = zero
+        ls_ref[:, :] = jnp.zeros_like(ls_ref)
+        cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+
+    f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
+    f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
+    ls = ls_ref[:, :]
+    cprev = cprev_ref[:, :]
+    zero_arr = jnp.zeros_like(f1[0])
+
+    for kb in range(STEP_BLOCK):
+        xb = xb_ref[kb].astype(jnp.int32)
+        yb = yb_ref[kb].astype(jnp.int32)
+        valid = valid_ref[kb].astype(jnp.float32)
+        s1 = s1_ref[kb]
+        s2 = s2_ref[kb]
+
+        e_match, e_gap = _emissions(Em, Eg, xb, yb)
+
+        mix_m = _mix(T, f2, 0, zero_arr)
+        if _fwd_divide_step(kb):
+            mix_m = mix_m / cprev
+        mix_g = [_mix(T, f1, t, zero_arr) for t in range(1, _NSTATE)]
+
+        kidx = jax.lax.broadcasted_iota(jnp.int32, zero_arr.shape, 0)
+        inj = jnp.where((kidx == 0) & (start_ref[kb] != 0), 0.2, 0.0)
+
+        new = [None] * _NSTATE
+        new[0] = (e_match * _roll_shift(mix_m, s2 == 2, s2 == 0) * valid
+                  + inj)
+        for s in (1, 3):
+            new[s] = e_gap[s] * _roll_shift(
+                mix_g[s - 1], s1 == 1, False) * valid + inj
+        for s in (2, 4):
+            new[s] = e_gap[s] * _roll_shift(
+                mix_g[s - 1], False, s1 == 0) * valid + inj
+
+        rescale = _fwd_rescale_step(kb)
+        sel = (kidx == fink_ref[kb]).astype(jnp.float32)
+        term = (_sum5(new) * sel).sum(axis=0, keepdims=True)
+        if rescale:
+            fmax = _max5(new).max(axis=0, keepdims=True)
+            c = jnp.where(fmax > 0, fmax, 1.0)
+            inv_c = 1.0 / c
+            term = term * inv_c
+            scaled = [new[s] * inv_c for s in range(_NSTATE)]
+            ls = ls + jnp.log(c)
+            cprev = c
+        else:
+            scaled = new
+
+        for s in range(_NSTATE):
+            f_out_ref[kb, s] = scaled[s]
+        lsf_ref[kb] = ls
+        term_ref[kb] = term
+        f1, f2 = scaled, f1
+
+    for s in range(_NSTATE):
+        f1_refs[s][:, :] = f1[s]
+        f2_refs[s][:, :] = f2[s]
+    ls_ref[:, :] = ls
+    cprev_ref[:, :] = cprev
+
+
+def _bwd_counts_kernel_multi(
+    f_ref, lsf_ref, valid_ref,
+    xb_ref, yb_ref, xb1_ref, yb1_ref, xb2_ref, yb2_ref, s1n_ref, s2n_ref,
+    fink_ref, find_ref, start_ref,
+    T_ref, Em_ref, Eg_ref, L_ref,
+    post_ref, tcp_ref, egp_ref,
+    b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
+    bls_ref, cprev_ref, tca_ref, ega_ref,
+):
+    """Counts backward over multi-problem lanes: per-step terminal streams
+    inject and reset the cumulative backward scale; the per-step L stream
+    (log term + lsf at the owning problem's terminal) normalises gammas per
+    problem; each problem's start step is its no-emission boundary."""
+    T = _TableView.from_ref(T_ref)
+    Em = _TableView.from_ref(Em_ref)
+    Eg = _TableView.from_ref(Eg_ref)
+    b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
+    b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
+    i = pl.program_id(0)
+    K = STEP_BLOCK
+
+    @pl.when(i == 0)
+    def _init():
+        zero = jnp.zeros_like(b1_refs[0][:, :])
+        for s in range(_NSTATE):
+            b1_refs[s][:, :] = zero
+            b2_refs[s][:, :] = zero
+        bls_ref[:, :] = jnp.zeros_like(bls_ref)
+        cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+        tca_ref[:, :] = jnp.zeros_like(tca_ref)
+        ega_ref[:, :] = jnp.zeros_like(ega_ref)
+
+    b1 = [b1_refs[s][:, :] for s in range(_NSTATE)]
+    b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
+    bls = bls_ref[:, :]
+    cprev = cprev_ref[:, :]
+    tca = tca_ref[:, :]
+    ega = ega_ref[:, :]
+
+    blk_base = (pl.num_programs(0) - 1 - i) * K
+    for t_step in range(K):
+        kb = K - 1 - t_step
+        d = blk_base + kb
+
+        valid = valid_ref[kb].astype(jnp.float32)
+        xb = xb_ref[kb].astype(jnp.int32)
+        yb = yb_ref[kb].astype(jnp.int32)
+        xb1 = xb1_ref[kb].astype(jnp.int32)
+        yb1 = yb1_ref[kb].astype(jnp.int32)
+        xb2 = xb2_ref[kb].astype(jnp.int32)
+        yb2 = yb2_ref[kb].astype(jnp.int32)
+        s1n = s1n_ref[kb]
+        s2n = s2n_ref[kb]
+        f_d = [f_ref[kb, s] for s in range(_NSTATE)]
+
+        e_match2, _ = _emissions(Em, None, xb2, yb2)
+        _, e_gap1 = _emissions(None, Eg, xb1, yb1)
+
+        q = [None] * _NSTATE
+        q[0] = _roll_shift(e_match2 * b2[0], s2n == 0, s2n == 2)
+        if _bwd_divide_step(kb):
+            q[0] = q[0] / cprev
+        for s in (1, 3):
+            q[s] = _roll_shift(e_gap1[s] * b1[s], False, s1n == 1)
+        for s in (2, 4):
+            q[s] = _roll_shift(e_gap1[s] * b1[s], s1n == 0, False)
+
+        kidx = jax.lax.broadcasted_iota(jnp.int32, q[0].shape, 0)
+        is_term = find_ref[kb] == d
+        inj = jnp.where((kidx == fink_ref[kb]) & is_term, 1.0, 0.0)
+
+        new = [None] * _NSTATE
+        for s in range(_NSTATE):
+            acc = None
+            for u in range(_NSTATE):
+                term = q[u] * T[s][u]
+                acc = term if acc is None else acc + term
+            new[s] = (acc + inj) * valid
+
+        bls = jnp.where(is_term, 0.0, bls)
+        if _bwd_rescale_step(kb):
+            bmax = _max5(new).max(axis=0, keepdims=True)
+            c = jnp.where(bmax > 0, bmax, 1.0)
+            inv_c = 1.0 / c
+            bls = bls + jnp.log(c)
+            cprev = c
+            b_out = [new[s] * inv_c for s in range(_NSTATE)]
+            alpha0 = jnp.exp(lsf_ref[kb] + bls - L_ref[kb])
+            alpha1 = alpha0 * inv_c
+        else:
+            b_out = new
+            alpha0 = jnp.exp(lsf_ref[kb] + bls - L_ref[kb])
+            alpha1 = alpha0
+
+        post_ref[kb] = f_d[0] * b_out[0] * alpha0
+
+        rows = []
+        for s in range(_NSTATE):
+            fs = f_d[s] * alpha1
+            for u in range(_NSTATE):
+                rows.append((fs * q[u]).sum(axis=0, keepdims=True))
+        rows += [jnp.zeros_like(rows[0])] * (32 - len(rows))
+        tca = tca + jnp.concatenate(rows, axis=0)
+
+        # Each problem's start step is its no-emission boundary.
+        not_boundary = jnp.where(start_ref[kb] != 0, 0.0, 1.0)
+        grows = []
+        for s in range(1, _NSTATE):
+            gamma_s = f_d[s] * b_out[s] * (alpha0 * not_boundary)
+            basis = xb if s in (1, 3) else yb
+            for code in range(5):
+                m = jnp.where(basis == code, gamma_s, 0.0)
+                grows.append(m.sum(axis=0, keepdims=True))
+        grows += [jnp.zeros_like(grows[0])] * (32 - len(grows))
+        ega = ega + jnp.concatenate(grows, axis=0)
+
+        b2 = b1
+        b1 = b_out
+
+    for s in range(_NSTATE):
+        b1_refs[s][:, :] = b1[s]
+        b2_refs[s][:, :] = b2[s]
+    bls_ref[:, :] = bls
+    cprev_ref[:, :] = cprev
+    tca_ref[:, :] = tca
+    ega_ref[:, :] = ega
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _emit():
+        tcp_ref[0] = tca_ref[:, :]
+        egp_ref[0] = ega_ref[:, :]
+
+
+@jax.jit
+def counts_pallas_multi(tables: FbTables, mdev) -> CountsResult:
+    """Baum-Welch expected counts over multi-problem lanes.  logZ is per
+    problem [P]; counts/posteriors sum over every problem in the batch."""
+    D1, Wp, B = mdev.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    xb = _pad_steps(mdev.xb, D1K)
+    yb = _pad_steps(mdev.yb, D1K)
+    valid = _pad_steps(mdev.valid, D1K)
+    s1 = _pad_steps(mdev.s1, D1K)[:, None, :]
+    s2 = _pad_steps(mdev.s2, D1K)[:, None, :]
+    start = _pad_steps(mdev.start, D1K)[:, None, :]
+    fink = jnp.pad(mdev.fink, [(0, D1K - D1), (0, 0)],
+                   constant_values=-1)[:, None, :]
+    find = jnp.pad(mdev.find, [(0, D1K - D1), (0, 0)],
+                   constant_values=-1)[:, None, :]
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk4 = pl.BlockSpec((K, _NSTATE, Wp, B), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    f_all, lsf2, term2 = pl.pallas_call(
+        _fwd_all_kernel_multi,
+        grid=(G,),
+        in_specs=[blk3, blk3, blk3, blk2, blk2, blk2, blk2,
+                  full, full, full],
+        out_specs=[blk4, blk2, blk2],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, _NSTATE, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+            + [pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((1, B), jnp.float32)]
+        ),
+        interpret=_use_interpret(),
+    )(xb, yb, valid, s1, s2, fink, start,
+      tables.T, tables.Ematch, tables.Egap)
+
+    lsf = lsf2[:, 0, :]
+    term = term2[:, 0, :]
+    logterm = jnp.log(jnp.maximum(term, 1e-30)) + lsf
+    sf = _pad_steps(mdev.step_final, D1K)
+    L = jnp.take_along_axis(logterm, sf, axis=0)
+
+    pf = mdev.p_final_d
+    pl_ = mdev.p_lane
+    p0 = mdev.p_d0
+    base = jnp.where(p0 > 0, lsf[jnp.maximum(p0 - 1, 0), pl_], 0.0)
+    logZ = logterm[pf, pl_] - base
+
+    pad2 = lambda a: jnp.pad(
+        _pad_steps(a, D1K), [(0, 2)] + [(0, 0)] * (a.ndim - 1)
+    )
+    xb_p, yb_p = pad2(mdev.xb), pad2(mdev.yb)
+    s1_p = pad2(mdev.s1)[:, None, :]
+    s2_p = pad2(mdev.s2)[:, None, :]
+
+    rev3 = pl.BlockSpec((K, Wp, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rev4 = pl.BlockSpec((K, _NSTATE, Wp, B), lambda i: (G - 1 - i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rev2 = pl.BlockSpec((K, 1, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    last_blk = pl.BlockSpec((1, 32, B), lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    post, tcp, egp = pl.pallas_call(
+        _bwd_counts_kernel_multi,
+        grid=(G,),
+        in_specs=[
+            rev4, rev2, rev3,
+            rev3, rev3,
+            rev3, rev3,
+            rev3, rev3,
+            rev2, rev2,
+            rev2, rev2, rev2,
+            full, full, full,
+            rev2,
+        ],
+        out_specs=[rev3, last_blk, last_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, 32, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, 32, B), jnp.float32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+            + [pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((32, B), jnp.float32),
+               pltpu.VMEM((32, B), jnp.float32)]
+        ),
+        interpret=_use_interpret(),
+    )(
+        f_all,
+        lsf2,
+        valid,
+        xb, yb,
+        xb_p[1 : D1K + 1], yb_p[1 : D1K + 1],
+        xb_p[2 : D1K + 2], yb_p[2 : D1K + 2],
+        s1_p[1 : D1K + 1], s2_p[2 : D1K + 2],
+        fink, find, start,
+        tables.T, tables.Ematch, tables.Egap,
+        L[:, None, :],
+    )
+
+    tc = (tcp[0, :25].sum(axis=1).reshape(5, 5)) * tables.T
+    eg_rows = egp[0, :20].sum(axis=1).reshape(4, 5)
+    emit_gap = jnp.concatenate([jnp.zeros((1, 5)), eg_rows], axis=0)
+    return CountsResult(
+        logZ=logZ, posteriors=post[:D1], trans_counts=tc, emit_gap=emit_gap
+    )
+
+
+def match_counts_from_posteriors_multi(post: jnp.ndarray, mdev) -> jnp.ndarray:
+    """[5, 5] match emission counts over multi-problem lanes: every
+    problem's start step carries no emission (local d = 0), and grid
+    boundary cells are excluded by construction of the posteriors."""
+    D1 = post.shape[0]
+    mask = mdev.start[:D1] == 0  # [D1, B]
+    p = jnp.where(mask[:, None, :], post, 0.0)
+    out = jnp.zeros((5, 5), jnp.float32)
+    xi = mdev.xb[:D1].astype(jnp.int32)
+    yi = mdev.yb[:D1].astype(jnp.int32)
+    for a in range(5):
+        pa = jnp.where(xi == a, p, 0.0)
+        for cc in range(5):
+            out = out.at[a, cc].set(jnp.where(yi == cc, pa, 0.0).sum())
+    return out

@@ -292,3 +292,169 @@ def _traceback_one(
         else:
             out.append((op, 1))
     return out
+
+
+# ------------------------ multi-problem lanes (short-read packing) --------
+
+
+@partial(jax.jit, static_argnames=("width", "rgm", "rgn"))
+def _mea_weights_multi_jit(
+    post, valid, lo, dloc, e1r, e1c, ibase, jbase, gap_gamma,
+    width: int, rgm: int, rgn: int,
+):
+    """mea_weights over multi-problem lanes: per-lane virtual read/ref
+    position spaces (each problem owns a disjoint window), same banded
+    monotone segment-sum + gather-back as the single-problem device path."""
+    D1, Wp, B = post.shape
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, Wp, 1), 1)
+    i = lo[:, None, :].astype(jnp.int32) + k
+    j = dloc[:, None, :].astype(jnp.int32) - i
+    ok = valid & (i >= 1) & (j >= 1)
+    w = jnp.where(ok, post, 0.0)
+    sp = jnp.concatenate(
+        [jnp.zeros((1, Wp, B), post.dtype), jnp.cumsum(w, axis=0)], axis=0
+    )
+
+    accr = jnp.zeros((rgm, B), post.dtype)
+    accc = jnp.zeros((rgn, B), post.dtype)
+    for kk in range(width):
+        gkr = jnp.take_along_axis(
+            sp[:, kk, :], e1r[width - kk : width - kk + rgm + 1, :], axis=0
+        )
+        accr = accr + (gkr[1:] - gkr[:-1])
+        gkc = jnp.take_along_axis(
+            sp[:, kk, :], e1c[kk : kk + rgn + 1, :], axis=0
+        )
+        accc = accc + (gkc[1:] - gkc[:-1])
+
+    g_read = gap_gamma * jnp.clip(1.0 - accr, 0.0, 1.0)
+    g_ref = gap_gamma * jnp.clip(1.0 - accc, 0.0, 1.0)
+
+    iu = jnp.clip(ibase[:, None, :].astype(jnp.int32) + k, 0, rgm - 1)
+    ju = jnp.clip(jbase[:, None, :].astype(jnp.int32) - k, 0, rgn - 1)
+    wup = jnp.where(
+        valid & (i >= 1),
+        jnp.take_along_axis(
+            jnp.broadcast_to(g_read[:, None, :], (rgm, Wp, B)), iu, axis=0
+        ),
+        0.0,
+    )
+    wleft = jnp.where(
+        valid & (j >= 1),
+        jnp.take_along_axis(
+            jnp.broadcast_to(g_ref[:, None, :], (rgn, Wp, B)), ju, axis=0
+        ),
+        0.0,
+    )
+    return wup, wleft
+
+
+def _traceback_problem(pointers: np.ndarray, mb, p) -> List[Tuple[int, int]]:
+    pr = mb.problems[p]
+    ptr = np.ascontiguousarray(
+        pointers[pr.d0 : pr.final_d + 1, :, pr.lane : pr.lane + 1]
+    )
+    lo = np.ascontiguousarray(mb.lo[pr.d0 : pr.final_d + 1, pr.lane])
+    from .. import native as _native
+
+    nat = _native.mea_traceback(ptr, lo, 0, pr.m, pr.n)
+    if nat is not None:
+        return nat
+    i, j = pr.m, pr.n
+    ops_rev: List[int] = []
+    while not (i == 0 and j == 0):
+        if i == 0:
+            ops_rev.append(2)
+            j -= 1
+            continue
+        if j == 0:
+            ops_rev.append(1)
+            i -= 1
+            continue
+        d = i + j
+        k = i - int(lo[d])
+        pv = int(ptr[d, k, 0])
+        if pv == 0:
+            ops_rev.append(0)
+            i -= 1
+            j -= 1
+        elif pv == 1:
+            ops_rev.append(2)
+            j -= 1
+        else:
+            ops_rev.append(1)
+            i -= 1
+        assert i >= 0 and j >= 0
+    ops_rev.reverse()
+    out: List[Tuple[int, int]] = []
+    for op in ops_rev:
+        if out and out[-1][0] == op:
+            out[-1] = (op, out[-1][1] + 1)
+        else:
+            out.append((op, 1))
+    return out
+
+
+def mea_decode_multi(
+    post,
+    mb,
+    gap_gamma: float = 0.5,
+    match_gamma: float = 0.0,
+) -> List[List[Tuple[int, int]]]:
+    """MEA decode for every problem of a multi-problem batch.  post may be
+    a device array (kept on device through weights + DP; only pointers
+    cross to the host)."""
+    from .expectations import (
+        _lane_virtual_offsets, _multi_boundaries, _multi_gu, _round_up,
+    )
+    from .wavefront_pallas import banded_mea_pallas_multi
+
+    voffr, vmaxr = _lane_virtual_offsets(mb, lambda p: mb.problems[p].m)
+    voffc, vmaxc = _lane_virtual_offsets(mb, lambda p: mb.problems[p].n)
+    rgm = _round_up(max(int(vmaxr), 1), 256)
+    rgn = _round_up(max(int(vmaxc), 1), 256)
+    gur = _multi_gu(mb, voffr, "read")
+    guc = _multi_gu(mb, voffc, "ref")
+    e1r = _multi_boundaries(gur, -mb.width, rgm)
+    e1c = _multi_boundaries(guc, 0, rgn + mb.width)
+
+    D1, B = mb.lo.shape
+    ibase = np.zeros((D1, B), dtype=np.int32)
+    jbase = np.zeros((D1, B), dtype=np.int32)
+    for p, pr in enumerate(mb.problems):
+        sl = slice(pr.d0, pr.final_d + 1)
+        lo = mb.lo[sl, pr.lane].astype(np.int64)
+        ibase[sl, pr.lane] = voffr[p] + lo - 1
+        jbase[sl, pr.lane] = (
+            voffc[p] + mb.dloc[sl, pr.lane].astype(np.int64) - lo - 1
+        )
+
+    post_dev = jnp.asarray(post)
+    wup, wleft = _mea_weights_multi_jit(
+        post_dev,
+        jnp.asarray(mb.valid),
+        jnp.asarray(mb.lo),
+        jnp.asarray(mb.dloc),
+        jnp.asarray(e1r),
+        jnp.asarray(e1c),
+        jnp.asarray(ibase),
+        jnp.asarray(jbase),
+        jnp.float32(gap_gamma),
+        width=mb.width,
+        rgm=rgm,
+        rgn=rgn,
+    )
+    wdiag = jnp.where(
+        (post_dev >= match_gamma) & (post_dev > 0), post_dev, NEG
+    ).astype(jnp.float32)
+    res = banded_mea_pallas_multi(
+        wdiag, wup, wleft,
+        jnp.asarray(mb.valid), jnp.asarray(mb.s1), jnp.asarray(mb.s2),
+        jnp.asarray(mb.start), jnp.asarray(mb.find),
+        jnp.asarray(mb.fink_steps),
+        jnp.asarray(mb.final_d), 
+        jnp.asarray(np.array([pr.lane for pr in mb.problems], np.int32)),
+    )
+    pointers = np.asarray(res.pointers)
+    return [_traceback_problem(pointers, mb, p)
+            for p in range(len(mb.problems))]

@@ -284,3 +284,98 @@ def banded_mea_pallas(
         pointers=ptrs[:D1].astype(jnp.uint8),
         score=terms[d_idx, 0, b_idx],
     )
+
+
+# ---------------------------------------------- MEA over multi-problem lanes
+
+
+def _mea_kernel_multi(
+    wd_ref, wu_ref, wl_ref, valid_ref, s1_ref, s2_ref, start_ref, fink_ref,
+    find_ref,
+    ptr_ref, term_ref,
+    a1_ref, a2_ref,
+):
+    """MEA decode over packed lanes: each problem's local d = 0 re-seeds the
+    score frontier at band row 0 (spacer steps have pushed it to NEG)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        neg = jnp.full_like(a1_ref[:, :], NEG)
+        a1_ref[:, :] = neg
+        a2_ref[:, :] = neg
+
+    a1 = a1_ref[:, :]
+    a2 = a2_ref[:, :]
+
+    for kb in range(STEP_BLOCK):
+        valid = valid_ref[kb].astype(jnp.float32) != 0.0
+        s1 = s1_ref[kb]
+        s2 = s2_ref[kb]
+
+        diag = _roll_shift(a2, s2 == 2, s2 == 0) + wd_ref[kb]
+        left = _roll_shift(a1, s1 == 1, False) + wl_ref[kb]
+        up = _roll_shift(a1, False, s1 == 0) + wu_ref[kb]
+
+        a_new, ptr = _max_argmax3(diag, left, up)
+        a_new = jnp.where(valid, a_new, NEG)
+
+        kidx = jax.lax.broadcasted_iota(jnp.int32, a_new.shape, 0)
+        seed = (kidx == 0) & (start_ref[kb] != 0)
+        a_new = jnp.where(seed, 0.0, a_new)
+        ptr = jnp.where(seed, 0, ptr)
+
+        sel = (kidx == fink_ref[kb]) & (find_ref[kb] >= 0)
+        term_ref[kb] = jnp.where(sel, a_new, NEG).max(axis=0, keepdims=True)
+        ptr_ref[kb] = ptr
+        a1, a2 = a_new, a1
+
+    a1_ref[:, :] = a1
+    a2_ref[:, :] = a2
+
+
+@jax.jit
+def banded_mea_pallas_multi(
+    wdiag, wup, wleft, valid, s1, s2, start, find, fink,
+    p_final_d, p_lane,
+):
+    """Pointers + per-problem scores for a multi-problem MEA decode."""
+    from .mea import MeaResult
+
+    D1, Wp, B = wdiag.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    wd = _pad_steps(wdiag, D1K)
+    wu = _pad_steps(wup, D1K)
+    wl = _pad_steps(wleft, D1K)
+    va = _pad_steps(valid.astype(jnp.int8), D1K)
+    s1p = _pad_steps(s1.astype(jnp.int32), D1K)[:, None, :]
+    s2p = _pad_steps(s2.astype(jnp.int32), D1K)[:, None, :]
+    stp = _pad_steps(start.astype(jnp.int8), D1K)[:, None, :]
+    fkp = jnp.pad(fink.astype(jnp.int32), [(0, D1K - D1), (0, 0)],
+                  constant_values=-1)[:, None, :]
+    fdp = jnp.pad(find.astype(jnp.int32), [(0, D1K - D1), (0, 0)],
+                  constant_values=-1)[:, None, :]
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    ptrs, terms = pl.pallas_call(
+        _mea_kernel_multi,
+        grid=(G,),
+        in_specs=[blk3, blk3, blk3, blk3, blk2, blk2, blk2, blk2, blk2],
+        out_specs=[blk3, blk2],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.int32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Wp, B), jnp.float32) for _ in range(2)],
+        interpret=_use_interpret(),
+    )(wd, wu, wl, va, s1p, s2p, stp, fkp, fdp)
+
+    score = terms[p_final_d.astype(jnp.int32), 0, p_lane.astype(jnp.int32)]
+    return MeaResult(pointers=ptrs[:D1].astype(jnp.uint8), score=score)

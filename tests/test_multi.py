@@ -84,3 +84,165 @@ def test_multi_pack_geometry(rng):
         for a, b in zip(prs, prs[1:]):
             assert b.d0 - a.final_d - 1 >= 2  # SPACER
             assert not mb.valid[a.final_d + 1 : b.d0, :, lane].any()
+
+
+def test_multi_expectations_match_host(rng):
+    from marginalign_trna_tpu.ops.band import pack_multi_banded_batch
+    from marginalign_trna_tpu.ops.expectations import (
+        band_expectations_host, multi_band_expectations,
+    )
+
+    reads, refs, paths = _problems(rng)
+    mb = pack_multi_banded_batch(reads, refs, width=9, paths=paths,
+                                 pad_steps_to=96)
+    D1, Wp, B = mb.xb.shape
+    post = (rng.random((D1, Wp, B)).astype(np.float32) * mb.valid)
+    # Problems map into a 200-position global space at varied offsets.
+    starts = (rng.integers(0, 150, size=len(reads))).astype(np.int64)
+    got = np.zeros((200, 4))
+    multi_band_expectations(post, mb, starts, got)
+
+    want = np.zeros((200, 4))
+    for p, pr in enumerate(mb.problems):
+        # Re-pack just this problem's band values into a single-lane batch
+        # shape so the host oracle can accumulate it.
+        sb = pack_banded_batch([reads[p]], [refs[p]], width=9,
+                               paths=[paths[p]])
+        vals = np.zeros(sb.xb.shape, np.float32)
+        vals[: pr.m + pr.n + 1, :, 0] = post[pr.d0 : pr.final_d + 1, :,
+                                             pr.lane]
+        want += band_expectations_host(
+            vals, sb, np.array([starts[p]]), 200
+        )
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_multi_mea_decode_matches_single(rng):
+    import os
+
+    from marginalign_trna_tpu.ops.band import pack_multi_banded_batch
+    from marginalign_trna_tpu.ops.mea import mea_decode, mea_decode_multi
+
+    reads, refs, paths = _problems(rng)
+    mb = pack_multi_banded_batch(reads, refs, width=9, paths=paths,
+                                 pad_steps_to=96)
+    D1, Wp, B = mb.xb.shape
+    # Use plausible posteriors (from the model) so decodes are meaningful.
+    hmm = PairHmm.load(MODEL)
+    hmm.set_flat_indel_emissions()
+    tables = make_tables(hmm)
+    _, post = posteriors_pallas_multi(tables, multi_device_batch(mb))
+    post = np.asarray(post)
+
+    got = mea_decode_multi(post, mb, 0.5, 0.0)
+
+    def score_ops(ops, dense, gr, gc):
+        s, i, j = 0.0, 0, 0
+        for op, ln in ops:
+            for _ in range(ln):
+                if op == 0:
+                    assert dense[i, j] > 0  # banned pairs never matched
+                    s += dense[i, j]
+                    i += 1
+                    j += 1
+                elif op == 1:
+                    s += gr[i]
+                    i += 1
+                else:
+                    s += gc[j]
+                    j += 1
+        return s
+
+    os.environ["MARGINALIGN_MEA"] = "host"
+    try:
+        for p, pr in enumerate(mb.problems):
+            sb = pack_banded_batch([reads[p]], [refs[p]], width=9,
+                                   paths=[paths[p]])
+            vals = np.zeros(sb.xb.shape, np.float32)
+            vals[: pr.m + pr.n + 1, :, 0] = post[pr.d0 : pr.final_d + 1, :,
+                                                 pr.lane]
+            want = mea_decode(vals, sb, 0.5, 0.0)[0]
+            if got[p] == want:
+                continue
+            # Equally-optimal ties are fine: assert identical objective.
+            from marginalign_trna_tpu.ops.band import unpack_band
+
+            dense = unpack_band(vals[:, :, 0], sb, 0, fill=0.0)
+            r = dense.sum(axis=1)
+            c = dense.sum(axis=0)
+            gr = 0.5 * np.clip(1 - r, 0, 1)
+            gc = 0.5 * np.clip(1 - c, 0, 1)
+            sm = score_ops(got[p], dense, gr, gc)
+            sh = score_ops(want, dense, gr, gc)
+            assert abs(sm - sh) < 1e-3, (p, sm, sh)
+    finally:
+        del os.environ["MARGINALIGN_MEA"]
+
+
+def test_multi_counts_match_engine(rng):
+    """counts_pallas_multi == summed per-problem forward_backward counts
+    (dynamic tables, non-flat emissions: the EM-in-training case)."""
+    from marginalign_trna_tpu.ops.band import pack_multi_banded_batch
+    from marginalign_trna_tpu.ops.fb import forward_backward
+    from marginalign_trna_tpu.ops.fb_pallas_counts import (
+        counts_pallas_multi, match_counts_from_posteriors_multi,
+    )
+
+    reads, refs, paths = _problems(rng)
+    mb = pack_multi_banded_batch(reads, refs, width=9, paths=paths,
+                                 pad_steps_to=96)
+    hmm = PairHmm.load(MODEL)  # non-flat gap emissions on purpose
+    tables = make_tables(hmm)
+    mdev = multi_device_batch(mb)
+    res = counts_pallas_multi(tables, mdev)
+    em_m = match_counts_from_posteriors_multi(res.posteriors, mdev)
+
+    tc = np.zeros((5, 5))
+    em = np.zeros((5, 5))
+    eg = np.zeros((5, 5))
+    for p in range(len(reads)):
+        sb = pack_banded_batch([reads[p]], [refs[p]], width=9,
+                               paths=[paths[p]])
+        ref = forward_backward(tables, device_batch(sb),
+                               want_posteriors=False, want_counts=True)
+        assert np.allclose(float(np.asarray(res.logZ)[p]),
+                           float(np.asarray(ref.logZ)[0]),
+                           rtol=1e-4, atol=1e-3), p
+        tc += np.asarray(ref.trans_counts)
+        em += np.asarray(ref.emit_match)
+        eg += np.asarray(ref.emit_gap)
+    assert np.allclose(np.asarray(res.trans_counts), tc,
+                       rtol=1e-3, atol=1e-3)
+    assert np.allclose(np.asarray(em_m), em, rtol=1e-3, atol=1e-3)
+    assert np.allclose(np.asarray(res.emit_gap), eg, rtol=1e-3, atol=1e-3)
+
+
+def test_em_multi_smoke(rng):
+    """train_em through the multi path: likelihood increases, model valid."""
+    import os
+
+    from marginalign_trna_tpu.align.em import EmOptions, train_em
+    from marginalign_trna_tpu.align.realign import RealignJob
+
+    jobs = []
+    for _ in range(6):
+        ref = rng.integers(0, 4, size=30).astype(np.int8)
+        read = ref.copy()
+        subs = rng.random(30) < 0.15
+        read[subs] = (read[subs] + 1) % 4
+        jobs.append(RealignJob(record=None, read_region=read,
+                               ref_region=ref, path=None))
+    os.environ["MARGINALIGN_MULTI"] = "on"
+    try:
+        res = train_em(
+            jobs,
+            EmOptions(trials=1, iterations=3, random_start=False,
+                      band_width=9, seed=1),
+            input_hmm=PairHmm.load(MODEL),
+        )
+    finally:
+        del os.environ["MARGINALIGN_MULTI"]
+    hist = res.likelihood_history
+    assert len(hist) >= 2
+    assert hist[-1] >= hist[0] - 1e-6
+    assert np.allclose(res.hmm.transitions.sum(axis=1), 1.0, atol=1e-3)
