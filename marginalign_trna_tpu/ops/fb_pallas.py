@@ -719,123 +719,18 @@ def _precompute_ematch(st, xb, yb):
     return out
 
 
-def _make_fwd_kernel_pre(st, gc):
+def _make_bwd_kernel_pre_first(st, gc):
+    """Backward-first specialised kernel: runs before (and independent of)
+    the forward, emitting the scaled match-state backward values plus its
+    cumulative log-scale per step, and the origin row from which logZ is
+    read (Z = sum_s pi_s * B_s(0,0)).  This removes the forward's per-step
+    terminal-extraction work entirely: the forward then consumes
+    (bm, bls, logZ) and emits normalised posteriors in-kernel."""
     T = st[0]
 
     def kernel(
-        em_ref, valid_ref, s1_ref, s2_ref, fink_ref,
-        fm_out_ref, lsf_ref, term_ref,
-        f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
-        ls_ref, cprev_ref,
-    ):
-        f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
-        f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
-        i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _init():
-            zero = jnp.zeros_like(f1_refs[0][:, :])
-            row0 = jax.lax.broadcasted_iota(jnp.int32, zero.shape, 0) == 0
-            init = jnp.where(row0, 0.2, 0.0)
-            for s in range(_NSTATE):
-                f1_refs[s][:, :] = init
-                f2_refs[s][:, :] = zero
-            ls_ref[:, :] = jnp.zeros_like(ls_ref)
-            cprev_ref[:, :] = jnp.ones_like(cprev_ref)
-
-        f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
-        f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
-        ls = ls_ref[:, :]
-        cprev = cprev_ref[:, :]
-        zero_arr = jnp.zeros_like(f1[0])
-
-        def mix(vals, t, coeff=1.0):
-            acc = None
-            for s in range(_NSTATE):
-                v = T[s][t] * coeff
-                if v == 0.0:
-                    continue
-                term = vals[s] * v
-                acc = term if acc is None else acc + term
-            return acc if acc is None else acc
-
-        for kb in range(STEP_BLOCK):
-            e_match = em_ref[kb]
-            valid = valid_ref[kb].astype(jnp.float32)
-            s1 = s1_ref[kb]
-            s2 = s2_ref[kb]
-
-            mix_m = mix(f2, 0)
-            mix_m = mix_m if mix_m is not None else zero_arr
-            if _fwd_divide_step(kb):
-                mix_m = mix_m / cprev
-            # Gap emission constants fold into the transition coefficients.
-            mix_g = [mix(f1, t, gc[t - 1]) for t in range(1, _NSTATE)]
-            mix_g = [m if m is not None else zero_arr for m in mix_g]
-
-            new = [None] * _NSTATE
-            new[0] = e_match * _roll_shift(mix_m, s2 == 2, s2 == 0) * valid
-            for s in (1, 3):
-                new[s] = _roll_shift(
-                    mix_g[s - 1], s1 == 1, False) * valid
-            for s in (2, 4):
-                new[s] = _roll_shift(
-                    mix_g[s - 1], False, s1 == 0) * valid
-
-            rescale = _fwd_rescale_step(kb)
-            kidx = jax.lax.broadcasted_iota(jnp.int32, new[0].shape, 0)
-            sel = (kidx == fink_ref[kb]).astype(jnp.float32)
-            term = (_sum5(new) * sel).sum(axis=0, keepdims=True)
-            if rescale:
-                fmax = _max5(new).max(axis=0, keepdims=True)
-                c = jnp.where(fmax > 0, fmax, 1.0)
-                inv_c = 1.0 / c
-                term = term * inv_c
-                scaled = [new[s] * inv_c for s in range(_NSTATE)]
-            else:
-                scaled = new
-
-            if kb == 0:
-                is_first = i == 0
-                f1_next = [jnp.where(is_first, f1[s], scaled[s])
-                           for s in range(_NSTATE)]
-                f2_next = [jnp.where(is_first, f2[s], f1[s])
-                           for s in range(_NSTATE)]
-                if rescale:  # only when STEP_BLOCK == 1
-                    ls = jnp.where(is_first, ls, ls + jnp.log(c))
-                    cprev = jnp.where(is_first, cprev, c)
-                term = jnp.where(
-                    is_first,
-                    (_sum5(f1) * sel).sum(axis=0, keepdims=True), term,
-                )
-            else:
-                f1_next = scaled
-                f2_next = f1
-                if rescale:
-                    ls = ls + jnp.log(c)
-                    cprev = c
-
-            fm_out_ref[kb] = f1_next[0]
-            lsf_ref[kb] = ls
-            term_ref[kb] = term
-            f1, f2 = f1_next, f2_next
-
-        for s in range(_NSTATE):
-            f1_refs[s][:, :] = f1[s]
-            f2_refs[s][:, :] = f2[s]
-        ls_ref[:, :] = ls
-        cprev_ref[:, :] = cprev
-
-    return kernel
-
-
-def _make_bwd_kernel_pre(st, gc):
-    T = st[0]
-
-    def kernel(
-        fm_ref, lsf_ref, valid_ref, em2_ref, s1n_ref, s2n_ref,
-        fink_ref, find_ref, logZ_ref,
-        post_ref,
+        valid_ref, em2_ref, s1n_ref, s2n_ref, fink_ref, find_ref,
+        bm_out_ref, bls_out_ref, zrow_ref,
         b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
         bls_ref, cprev_ref,
     ):
@@ -857,7 +752,6 @@ def _make_bwd_kernel_pre(st, gc):
         b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
         bls = bls_ref[:, :]
         cprev = cprev_ref[:, :]
-        logZ = logZ_ref[:, :]
 
         blk_base = (pl.num_programs(0) - 1 - i) * K
         for t in range(K):
@@ -887,7 +781,6 @@ def _make_bwd_kernel_pre(st, gc):
             for s in range(_NSTATE):
                 acc = None
                 for u in range(_NSTATE):
-                    # Gap emission constants fold into the coefficients.
                     v = T[s][u] * (1.0 if u == 0 else gc[u - 1])
                     if v == 0.0:
                         continue
@@ -907,11 +800,17 @@ def _make_bwd_kernel_pre(st, gc):
             else:
                 b_out = new
 
-            alpha = jnp.exp(lsf_ref[kb] + bls - logZ)
-            post_ref[kb] = fm_ref[kb] * b_out[0] * alpha
+            bm_out_ref[kb] = b_out[0]
+            bls_out_ref[kb] = bls
 
             b2 = b1
             b1 = b_out
+
+        # Origin row: 0.2 * sum_s b(0)[s][row 0]; written every grid step,
+        # the last (d = 0) write is the one that lands.
+        zrow_ref[0] = 0.2 * (
+            b1[0][0:1] + b1[1][0:1] + b1[2][0:1] + b1[3][0:1] + b1[4][0:1]
+        )
 
         for s in range(_NSTATE):
             b1_refs[s][:, :] = b1[s]
@@ -922,7 +821,121 @@ def _make_bwd_kernel_pre(st, gc):
     return kernel
 
 
+def _make_fwd_kernel_pre_post(st, gc):
+    """Forward for the backward-first specialised path: no terminal
+    extraction at all (logZ is already known from the backward); emits the
+    normalised posterior band directly (post = f_M * b_M * alpha) instead
+    of storing forward values."""
+    T = st[0]
+
+    def kernel(
+        em_ref, valid_ref, s1_ref, s2_ref, bm_ref, bls_ref, logZ_ref,
+        post_ref,
+        f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
+        ls_ref, cprev_ref,
+    ):
+        f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
+        f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            zero = jnp.zeros_like(f1_refs[0][:, :])
+            row0 = jax.lax.broadcasted_iota(jnp.int32, zero.shape, 0) == 0
+            init = jnp.where(row0, 0.2, 0.0)
+            for s in range(_NSTATE):
+                f1_refs[s][:, :] = init
+                f2_refs[s][:, :] = zero
+            ls_ref[:, :] = jnp.zeros_like(ls_ref)
+            cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+
+        f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
+        f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
+        ls = ls_ref[:, :]
+        cprev = cprev_ref[:, :]
+        zero_arr = jnp.zeros_like(f1[0])
+        logZ = logZ_ref[:, :]
+
+        def mix(vals, t, coeff=1.0):
+            acc = None
+            for s in range(_NSTATE):
+                v = T[s][t] * coeff
+                if v == 0.0:
+                    continue
+                term = vals[s] * v
+                acc = term if acc is None else acc + term
+            return acc
+
+        for kb in range(STEP_BLOCK):
+            # em is premasked by valid, so the match state needs no
+            # separate valid multiply.
+            e_match = em_ref[kb]
+            valid = valid_ref[kb].astype(jnp.float32)
+            s1 = s1_ref[kb]
+            s2 = s2_ref[kb]
+
+            mix_m = mix(f2, 0)
+            mix_m = mix_m if mix_m is not None else zero_arr
+            if _fwd_divide_step(kb):
+                mix_m = mix_m / cprev
+            mix_g = [mix(f1, t, gc[t - 1]) for t in range(1, _NSTATE)]
+            mix_g = [m if m is not None else zero_arr for m in mix_g]
+
+            new = [None] * _NSTATE
+            new[0] = e_match * _roll_shift(mix_m, s2 == 2, s2 == 0)
+            for s in (1, 3):
+                new[s] = _roll_shift(
+                    mix_g[s - 1], s1 == 1, False) * valid
+            for s in (2, 4):
+                new[s] = _roll_shift(
+                    mix_g[s - 1], False, s1 == 0) * valid
+
+            rescale = _fwd_rescale_step(kb)
+            if rescale:
+                fmax = _max5(new).max(axis=0, keepdims=True)
+                c = jnp.where(fmax > 0, fmax, 1.0)
+                inv_c = 1.0 / c
+                scaled = [new[s] * inv_c for s in range(_NSTATE)]
+            else:
+                scaled = new
+
+            if kb == 0:
+                # d = 0 on the first grid step is pure initialisation.
+                is_first = i == 0
+                f1_next = [jnp.where(is_first, f1[s], scaled[s])
+                           for s in range(_NSTATE)]
+                f2_next = [jnp.where(is_first, f2[s], f1[s])
+                           for s in range(_NSTATE)]
+                if rescale:  # only when STEP_BLOCK == 1
+                    ls = jnp.where(is_first, ls, ls + jnp.log(c))
+                    cprev = jnp.where(is_first, cprev, c)
+            else:
+                f1_next = scaled
+                f2_next = f1
+                if rescale:
+                    ls = ls + jnp.log(c)
+                    cprev = c
+
+            alpha = jnp.exp(ls + bls_ref[kb] - logZ)  # [1, B]
+            post_ref[kb] = f1_next[0] * bm_ref[kb] * alpha
+            f1, f2 = f1_next, f2_next
+
+        for s in range(_NSTATE):
+            f1_refs[s][:, :] = f1[s]
+            f2_refs[s][:, :] = f2[s]
+        ls_ref[:, :] = ls
+        cprev_ref[:, :] = cprev
+
+    return kernel
+
+
 def _posteriors_pre(st, gc, batch: DeviceBatch):
+    """Backward-first orchestration: the backward needs nothing from the
+    forward and yields logZ at the origin (Z = sum_s pi_s B_s(0,0)), so the
+    forward runs second, consumes (bm, bls, logZ) and emits normalised
+    posteriors in-kernel — no per-step terminal extraction anywhere and no
+    separate normalisation pass.  HBM stream traffic is unchanged (the
+    backward stores b_M instead of the forward storing f_M)."""
     D1, Wp, B = batch.xb.shape
     K = STEP_BLOCK
     D1K = -(-D1 // K) * K
@@ -940,7 +953,10 @@ def _posteriors_pre(st, gc, batch: DeviceBatch):
         batch.final_d.astype(jnp.int32)[None, None, :], (D1K, 1, B)
     )
 
-    ematch = _precompute_ematch(st, xb, yb)  # [D1K, Wp, B]
+    # Premasked by valid: the match state then needs no in-kernel valid
+    # multiply in the forward (gap states still do — their rolled mixes can
+    # land real mass on cells outside the band at d).
+    ematch = _precompute_ematch(st, xb, yb) * valid.astype(jnp.float32)
 
     blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -949,30 +965,6 @@ def _posteriors_pre(st, gc, batch: DeviceBatch):
     scratch = (
         [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
         + [pltpu.VMEM((1, B), jnp.float32), pltpu.VMEM((1, B), jnp.float32)]
-    )
-
-    fm_out, lsf2, term2 = pl.pallas_call(
-        _make_fwd_kernel_pre(st, gc),
-        grid=(G,),
-        in_specs=[blk3, blk3, blk2, blk2, blk2],
-        out_specs=[blk3, blk2, blk2],
-        out_shape=[
-            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
-            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
-            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
-        ],
-        scratch_shapes=scratch,
-        interpret=_use_interpret(),
-        **({"compiler_params": _compiler_params()}
-           if _compiler_params() else {}),
-    )(ematch, valid, s1, s2, fink)
-
-    lsf = lsf2[:, 0, :]
-    term = term2[:, 0, :]
-    d_idx = batch.final_d.astype(jnp.int32)
-    b_idx = jnp.arange(B)
-    logZ = (
-        jnp.log(jnp.maximum(term[d_idx, b_idx], 1e-30)) + lsf[d_idx, b_idx]
     )
 
     rev3 = pl.BlockSpec((K, Wp, B), lambda i: (G - 1 - i, 0, 0),
@@ -984,26 +976,47 @@ def _posteriors_pre(st, gc, batch: DeviceBatch):
     s1_p = jnp.pad(s1, [(0, 2), (0, 0), (0, 0)])
     s2_p = jnp.pad(s2, [(0, 2), (0, 0), (0, 0)])
 
-    post = pl.pallas_call(
-        _make_bwd_kernel_pre(st, gc),
+    bm, bls2, zrow = pl.pallas_call(
+        _make_bwd_kernel_pre_first(st, gc),
         grid=(G,),
-        in_specs=[rev3, rev2, rev3, rev3, rev2, rev2, rev2, rev2,
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=[rev3],
-        out_shape=[jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32)],
+        in_specs=[rev3, rev3, rev2, rev2, rev2, rev2],
+        out_specs=[rev3, rev2,
+                   pl.BlockSpec((1, 1, B), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, B), jnp.float32),
+        ],
         scratch_shapes=scratch,
         interpret=_use_interpret(),
         **({"compiler_params": _compiler_params()}
            if _compiler_params() else {}),
     )(
-        fm_out,
-        lsf2,
         valid,
         em_pad2[2 : D1K + 2],  # e_match at d+2
         s1_p[1 : D1K + 1], s2_p[2 : D1K + 2],
         fink, find,
-        logZ[None, :],
-    )[0]
+    )
+
+    # Z = 0.2 * sum_s b_s(0,0), rescaled by the backward's cumulative
+    # log-scale after its final (d = 0) step.
+    logZ = (
+        jnp.log(jnp.maximum(zrow[0, 0, :], 1e-30)) + bls2[0, 0, :]
+    )
+
+    post = pl.pallas_call(
+        _make_fwd_kernel_pre_post(st, gc),
+        grid=(G,),
+        in_specs=[blk3, blk3, blk2, blk2, blk3, blk2,
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[blk3],
+        out_shape=[jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32)],
+        scratch_shapes=scratch,
+        interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
+    )(ematch, valid, s1, s2, bm, bls2, logZ[None, :])[0]
     return logZ, post[:D1]
 
 
