@@ -95,5 +95,80 @@ class EmCheckpoint:
     @staticmethod
     def try_load(path: Optional[str]) -> Optional["EmCheckpoint"]:
         if path and os.path.exists(path):
+            with np.load(path) as z:
+                if "lockstep" in z.files:
+                    return None  # lockstep-format file; not ours
             return EmCheckpoint.load(path)
         return None
+
+
+@dataclass
+class EmLockstepCheckpoint:
+    """Checkpoint for lockstep-trials EM (all trials advance together, one
+    device call per E-step batch per iteration): iteration-major state with
+    every trial's parameters, history and frozen flag."""
+
+    iteration: int
+    transitions: np.ndarray        # [Ntr, 5, 5]
+    emissions: np.ndarray          # [Ntr, 5, 16]
+    histories: List[List[float]] = field(default_factory=list)
+    frozen: List[bool] = field(default_factory=list)
+
+    def hmms(self) -> List[PairHmm]:
+        return [
+            PairHmm(self.transitions[t].copy(), self.emissions[t].copy())
+            for t in range(self.transitions.shape[0])
+        ]
+
+    def save(self, path: str) -> None:
+        tmp_fd, tmp_path = tempfile.mkstemp(
+            dir=os.path.dirname(os.path.abspath(path)) or ".",
+            suffix=".ckpt.tmp",
+        )
+        os.close(tmp_fd)
+        ntr = self.transitions.shape[0]
+        hl = max([len(h) for h in self.histories] + [1])
+        hist = np.full((ntr, hl), np.nan)
+        for t, h in enumerate(self.histories):
+            hist[t, : len(h)] = h
+        try:
+            with open(tmp_path, "wb") as fh:
+                np.savez(
+                    fh,
+                    lockstep=1,
+                    iteration=self.iteration,
+                    transitions=self.transitions,
+                    emissions=self.emissions,
+                    histories=hist,
+                    frozen=np.asarray(self.frozen, dtype=np.int8),
+                )
+            os.replace(tmp_path, path)
+        finally:
+            if os.path.exists(tmp_path):
+                os.unlink(tmp_path)
+
+    @staticmethod
+    def try_load(path: Optional[str]) -> Optional["EmLockstepCheckpoint"]:
+        if not (path and os.path.exists(path)):
+            return None
+        with np.load(path) as z:
+            if "lockstep" not in z.files:
+                return None
+            hist = z["histories"]
+            histories = [
+                [float(v) for v in row[~np.isnan(row)]] for row in hist
+            ]
+            return EmLockstepCheckpoint(
+                iteration=int(z["iteration"]),
+                transitions=z["transitions"],
+                emissions=z["emissions"],
+                histories=histories,
+                frozen=[bool(v) for v in z["frozen"]],
+            )
+
+
+def is_lockstep_checkpoint(path: Optional[str]) -> bool:
+    if not (path and os.path.exists(path)):
+        return False
+    with np.load(path) as z:
+        return "lockstep" in z.files

@@ -47,6 +47,11 @@ class EmOptions:
     # Start emissions at a Jukes-Cantor matrix with this substitution rate
     # instead of random/flat (reference: setJukesCantorStartingEmissions).
     jukes_cantor_start: Optional[float] = None
+    # Run all random-start trials in lockstep: every E-step batch computes
+    # every trial's expected counts in ONE device call (a trials axis on
+    # the counts kernels), instead of the reference's serial trials
+    # (cPecanEm expectationMaximisationTrials, marginAlignLib.py:219-221).
+    lockstep: bool = True
 
 
 @dataclass
@@ -195,6 +200,55 @@ def expectation_step(
     return tc, em, eg, total_ll
 
 
+def make_tables_stacked(hmms: Sequence[PairHmm]):
+    """FbTables with a leading [Ntr] trials axis on every leaf."""
+    import jax.numpy as jnp
+
+    from ..ops.fb import FbTables
+
+    ts = [make_tables(h) for h in hmms]
+    return FbTables(
+        T=jnp.stack([t.T for t in ts]),
+        Ematch=jnp.stack([t.Ematch for t in ts]),
+        Egap=jnp.stack([t.Egap for t in ts]),
+    )
+
+
+def expectation_step_trials(
+    batches: List[Tuple[str, object, int]],
+    hmms: Sequence[PairHmm],
+    psum_fn=None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Expected counts + per-trial total log-likelihood for ALL trials over
+    prepared batches: one device call per batch regardless of trial count
+    (vs the reference's per-trial sweeps).  Returns ([Ntr,5,5] x3, [Ntr])."""
+    tables = make_tables_stacked(hmms)
+    ntr = len(hmms)
+    tc = np.zeros((ntr, 5, 5))
+    em = np.zeros((ntr, 5, 5))
+    eg = np.zeros((ntr, 5, 5))
+    total_ll = np.zeros(ntr)
+    from ..ops.dispatch import fb_counts_multi_trials, fb_counts_trials
+    from ..parallel.runtime import with_retries
+
+    for kind, dev, n_real in batches:
+        if kind == "multi":
+            logZ, tc_b, em_b, eg_b = with_retries(
+                lambda d=dev: fb_counts_multi_trials(tables, d)
+            )
+        else:
+            logZ, tc_b, em_b, eg_b = with_retries(
+                lambda d=dev: fb_counts_trials(tables, d)
+            )
+        total_ll += np.asarray(logZ)[:, :n_real].sum(axis=1)
+        tc += np.asarray(tc_b, dtype=np.float64)
+        em += np.asarray(em_b, dtype=np.float64)
+        eg += np.asarray(eg_b, dtype=np.float64)
+    if psum_fn is not None:
+        tc, em, eg, total_ll = psum_fn(tc, em, eg, total_ll)
+    return tc, em, eg, total_ll
+
+
 def sample_jobs(
     jobs: List[RealignJob], max_bases: int, seed: int = 0
 ) -> List[RealignJob]:
@@ -220,6 +274,103 @@ def _tie_gap_emissions(hmm: PairHmm) -> None:
         avg = 0.5 * (hmm.emissions[a] + hmm.emissions[b])
         hmm.emissions[a] = avg
         hmm.emissions[b] = avg.copy()
+
+
+def _init_trial_hmm(
+    options: EmOptions, input_hmm: Optional[PairHmm], trial: int
+) -> PairHmm:
+    if options.random_start or input_hmm is None:
+        hmm = PairHmm.random(seed=options.seed * 1000 + trial)
+    else:
+        hmm = input_hmm.copy()
+    hmm.model_type = MODEL_TYPES[options.model_type]
+    if options.jukes_cantor_start is not None:
+        r = options.jukes_cantor_start
+        jc = np.full((4, 4), r / 3.0)
+        np.fill_diagonal(jc, 1.0 - r)
+        hmm.emissions[0] = (jc / jc.sum()).reshape(-1)
+    hmm.apply_model_type_constraints()
+    if options.tie_emissions:
+        _tie_gap_emissions(hmm)
+    return hmm
+
+
+def _train_em_lockstep(
+    batches: List[Tuple[str, object, int]],
+    options: EmOptions,
+    input_hmm: Optional[PairHmm],
+    psum_fn,
+    log_fn,
+    checkpoint_path: Optional[str],
+) -> EmTrialResult:
+    """All trials advance together: per iteration, ONE device call per
+    E-step batch computes every trial's counts (trials = major grid axis on
+    the counts kernels).  Trial trajectories are identical to the serial
+    path (same seeds, same per-trial arithmetic); converged trials freeze
+    (params stop updating) until all are done."""
+    from .checkpoint import EmLockstepCheckpoint
+
+    ntr = options.trials
+    ck = EmLockstepCheckpoint.try_load(checkpoint_path)
+    if ck is not None and ck.transitions.shape[0] == ntr:
+        hmms = ck.hmms()
+        for h in hmms:
+            h.model_type = MODEL_TYPES[options.model_type]
+        histories = [list(h) for h in ck.histories]
+        frozen = list(ck.frozen)
+        start_iter = ck.iteration
+        lls = np.array([h[-1] if h else -np.inf for h in histories])
+    else:
+        hmms = [_init_trial_hmm(options, input_hmm, t) for t in range(ntr)]
+        histories = [[] for _ in range(ntr)]
+        frozen = [False] * ntr
+        start_iter = 0
+        lls = np.full(ntr, -np.inf)
+
+    for it in range(start_iter, options.iterations):
+        if all(frozen):
+            break
+        tc, em, eg, new_ll = expectation_step_trials(batches, hmms, psum_fn)
+        for t in range(ntr):
+            if frozen[t]:
+                continue
+            hmms[t] = _m_step(
+                hmms[t], tc[t], em[t], eg[t], options.train_emissions
+            )
+            hmms[t].apply_model_type_constraints()
+            if options.tie_emissions:
+                _tie_gap_emissions(hmms[t])
+            histories[t].append(float(new_ll[t]))
+            if log_fn:
+                log_fn("EM trial %d iter %d log-likelihood %.4f"
+                       % (t, it, new_ll[t]))
+            if np.isfinite(lls[t]) and abs(new_ll[t] - lls[t]) < (
+                options.tolerance
+            ):
+                frozen[t] = True
+            lls[t] = new_ll[t]
+        if checkpoint_path:
+            EmLockstepCheckpoint(
+                iteration=it + 1,
+                transitions=np.stack([h.transitions for h in hmms]),
+                emissions=np.stack([h.emissions for h in hmms]),
+                histories=histories,
+                frozen=frozen,
+            ).save(checkpoint_path)
+
+    best_t = int(np.argmax(lls))
+    results = []
+    for t in range(ntr):
+        hmms[t].likelihood = float(lls[t])
+        if options.output_trial_hmms_path:
+            hmms[t].write(
+                "%s.trial%d" % (options.output_trial_hmms_path, t)
+            )
+        results.append(EmTrialResult(
+            hmm=hmms[t], likelihood=float(lls[t]),
+            likelihood_history=histories[t],
+        ))
+    return results[best_t]
 
 
 def train_em(
@@ -254,6 +405,19 @@ def train_em(
 
     batches = prepare_em_batches(jobs, options.band_width,
                                  options.max_batch_cells)
+
+    # Lockstep trials unless resuming an old serial-format checkpoint.
+    from .checkpoint import is_lockstep_checkpoint
+
+    serial_resume = (
+        checkpoint_path
+        and EmCheckpoint.try_load(checkpoint_path) is not None
+        and not is_lockstep_checkpoint(checkpoint_path)
+    )
+    if options.lockstep and options.trials > 1 and not serial_resume:
+        return _train_em_lockstep(
+            batches, options, input_hmm, psum_fn, log_fn, checkpoint_path
+        )
 
     ckpt = EmCheckpoint.try_load(checkpoint_path)
     start_trial = ckpt.trial if ckpt else 0

@@ -67,3 +67,38 @@ def fb_counts(tables: FbTables, batch: DeviceBatch):
         tables, batch, want_posteriors=False, want_counts=True
     )
     return res.logZ, res.trans_counts, res.emit_match, res.emit_gap
+
+
+def fb_counts_trials(tables_stacked: FbTables, batch: DeviceBatch):
+    """Lockstep EM trials: expected counts for Ntr models over one batch in
+    ONE device call.  tables_stacked leaves are [Ntr, ...]; returns
+    (logZ [Ntr, B], trans [Ntr,5,5], emit_match [Ntr,5,5],
+    emit_gap [Ntr,5,5]).  Pallas trials-grid kernel on accelerators; vmap of
+    the XLA scan engine on CPU."""
+    if use_pallas():
+        from .fb_pallas_counts import (
+            counts_pallas_trials, match_counts_from_posteriors_trials,
+        )
+
+        res = counts_pallas_trials(tables_stacked, batch)
+        em = match_counts_from_posteriors_trials(res.posteriors, batch)
+        return res.logZ, res.trans_counts, em, res.emit_gap
+    res = jax.vmap(
+        lambda t: forward_backward(
+            t, batch, want_posteriors=False, want_counts=True
+        ),
+        in_axes=(FbTables(T=0, Ematch=0, Egap=0),),
+    )(tables_stacked)
+    return res.logZ, res.trans_counts, res.emit_match, res.emit_gap
+
+
+def fb_counts_multi_trials(tables_stacked: FbTables, mdev):
+    """Lockstep EM trials over multi-problem lanes (always Pallas; interpret
+    mode covers CPU).  logZ is [Ntr, P]."""
+    from .fb_pallas_counts import (
+        counts_pallas_multi_trials, match_counts_from_posteriors_multi_trials,
+    )
+
+    res = counts_pallas_multi_trials(tables_stacked, mdev)
+    em = match_counts_from_posteriors_multi_trials(res.posteriors, mdev)
+    return res.logZ, res.trans_counts, em, res.emit_gap

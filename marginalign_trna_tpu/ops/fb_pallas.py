@@ -157,7 +157,9 @@ class _TableView:
 
     @staticmethod
     def from_ref(ref):
-        arr = ref[:, :]
+        # Accepts [5, 5] blocks or [1, 5, 5] per-trial blocks (the trials
+        # grid axis streams one table per trial).
+        arr = ref[0] if len(ref.shape) == 3 else ref[:, :]
         return _TableView(
             [[arr[a, b] for b in range(5)] for a in range(5)]
         )

@@ -39,19 +39,22 @@ from .fb_pallas import (
 _NSTATE = 5
 
 
-def _fwd_all_kernel(
+def _fwd_all_impl(
+    axis,
     xb_ref, yb_ref, valid_ref, s1_ref, s2_ref, fink_ref,
     T_ref, Em_ref, Eg_ref,
     f_out_ref, lsf_ref, term_ref,
     f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
     ls_ref, cprev_ref,
 ):
+    """axis = grid axis that walks diagonal blocks (1 when a leading trials
+    axis streams one model table per trial; scratch re-inits per trial)."""
     T = _TableView.from_ref(T_ref)
     Em = _TableView.from_ref(Em_ref)
     Eg = _TableView.from_ref(Eg_ref)
     f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
     f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
-    i = pl.program_id(0)
+    i = pl.program_id(axis)
 
     @pl.when(i == 0)
     def _init():
@@ -138,7 +141,11 @@ def _fwd_all_kernel(
     cprev_ref[:, :] = cprev
 
 
-def _bwd_counts_kernel(
+_fwd_all_kernel = functools.partial(_fwd_all_impl, 0)
+
+
+def _bwd_counts_impl(
+    axis,
     f_ref, lsf_ref, valid_ref,
     xb_ref, yb_ref, xb1_ref, yb1_ref, xb2_ref, yb2_ref, s1n_ref, s2n_ref,
     fink_ref, find_ref,
@@ -152,7 +159,7 @@ def _bwd_counts_kernel(
     Eg = _TableView.from_ref(Eg_ref)
     b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
     b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
-    i = pl.program_id(0)
+    i = pl.program_id(axis)
     K = STEP_BLOCK
 
     @pl.when(i == 0)
@@ -170,11 +177,11 @@ def _bwd_counts_kernel(
     b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
     bls = bls_ref[:, :]
     cprev = cprev_ref[:, :]
-    logZ = logZ_ref[:, :]
+    logZ = logZ_ref[0] if len(logZ_ref.shape) == 3 else logZ_ref[:, :]
     tca = tca_ref[:, :]   # [32, B] rows s*5+t
     ega = ega_ref[:, :]   # [32, B] rows (s-1)*5+code
 
-    blk_base = (pl.num_programs(0) - 1 - i) * K
+    blk_base = (pl.num_programs(axis) - 1 - i) * K
     for t_step in range(K):
         kb = K - 1 - t_step
         d = blk_base + kb
@@ -267,10 +274,13 @@ def _bwd_counts_kernel(
     tca_ref[:, :] = tca
     ega_ref[:, :] = ega
 
-    @pl.when(i == pl.num_programs(0) - 1)
+    @pl.when(i == pl.num_programs(axis) - 1)
     def _emit():
         tcp_ref[0] = tca_ref[:, :]
         egp_ref[0] = ega_ref[:, :]
+
+
+_bwd_counts_kernel = functools.partial(_bwd_counts_impl, 0)
 
 
 class CountsResult(NamedTuple):
@@ -417,7 +427,8 @@ def match_counts_from_posteriors(
 # ------------------- multi-problem lanes (short-read / tRNA EM) -----------
 
 
-def _fwd_all_kernel_multi(
+def _fwd_all_multi_impl(
+    axis,
     xb_ref, yb_ref, valid_ref, s1_ref, s2_ref, fink_ref, start_ref,
     T_ref, Em_ref, Eg_ref,
     f_out_ref, lsf_ref, term_ref,
@@ -432,7 +443,7 @@ def _fwd_all_kernel_multi(
     Eg = _TableView.from_ref(Eg_ref)
     f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
     f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
-    i = pl.program_id(0)
+    i = pl.program_id(axis)
 
     @pl.when(i == 0)
     def _init():
@@ -503,7 +514,11 @@ def _fwd_all_kernel_multi(
     cprev_ref[:, :] = cprev
 
 
-def _bwd_counts_kernel_multi(
+_fwd_all_kernel_multi = functools.partial(_fwd_all_multi_impl, 0)
+
+
+def _bwd_counts_multi_impl(
+    axis,
     f_ref, lsf_ref, valid_ref,
     xb_ref, yb_ref, xb1_ref, yb1_ref, xb2_ref, yb2_ref, s1n_ref, s2n_ref,
     fink_ref, find_ref, start_ref,
@@ -521,7 +536,7 @@ def _bwd_counts_kernel_multi(
     Eg = _TableView.from_ref(Eg_ref)
     b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
     b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
-    i = pl.program_id(0)
+    i = pl.program_id(axis)
     K = STEP_BLOCK
 
     @pl.when(i == 0)
@@ -542,7 +557,7 @@ def _bwd_counts_kernel_multi(
     tca = tca_ref[:, :]
     ega = ega_ref[:, :]
 
-    blk_base = (pl.num_programs(0) - 1 - i) * K
+    blk_base = (pl.num_programs(axis) - 1 - i) * K
     for t_step in range(K):
         kb = K - 1 - t_step
         d = blk_base + kb
@@ -630,10 +645,13 @@ def _bwd_counts_kernel_multi(
     tca_ref[:, :] = tca
     ega_ref[:, :] = ega
 
-    @pl.when(i == pl.num_programs(0) - 1)
+    @pl.when(i == pl.num_programs(axis) - 1)
     def _emit():
         tcp_ref[0] = tca_ref[:, :]
         egp_ref[0] = ega_ref[:, :]
+
+
+_bwd_counts_kernel_multi = functools.partial(_bwd_counts_multi_impl, 0)
 
 
 @jax.jit
@@ -774,4 +792,350 @@ def match_counts_from_posteriors_multi(post: jnp.ndarray, mdev) -> jnp.ndarray:
         pa = jnp.where(xi == a, p, 0.0)
         for cc in range(5):
             out = out.at[a, cc].set(jnp.where(yi == cc, pa, 0.0).sum())
+    return out
+
+
+# ------------------- lockstep trials (one device call for all trials) -----
+
+
+def _check_trials_tables(tables: FbTables) -> int:
+    assert tables.T.ndim == 3, "trials tables must be stacked [Ntr, 5, 5]"
+    return tables.T.shape[0]
+
+
+@jax.jit
+def counts_pallas_trials(tables: FbTables, batch: DeviceBatch) -> CountsResult:
+    """Baum-Welch expected counts for Ntr models over ONE batch in ONE
+    device call: the trials axis is the major grid dimension, streaming one
+    (T, Ematch, Egap) table per trial while the per-step band inputs are
+    re-streamed per trial.  tables leaves are stacked [Ntr, ...]; returns
+    logZ [Ntr, B], counts [Ntr, 5, 5], posteriors [Ntr, D1, Wp, B].
+
+    Replaces the reference's serial EM trials (cPecanEm
+    expectationMaximisationTrials, called at src/margin/marginAlignLib.py:
+    219-221) with lockstep trials — one executable, one call per E-step."""
+    Ntr = _check_trials_tables(tables)
+    D1, Wp, B = batch.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    xb = _pad_steps(batch.xb, D1K)
+    yb = _pad_steps(batch.yb, D1K)
+    valid = _pad_steps(batch.valid.astype(jnp.int8), D1K)
+    s1 = _pad_steps(batch.s1.astype(jnp.int32), D1K)[:, None, :]
+    s2 = _pad_steps(batch.s2.astype(jnp.int32), D1K)[:, None, :]
+    fink = jnp.broadcast_to(
+        batch.final_k.astype(jnp.int32)[None, None, :], (D1K, 1, B)
+    )
+    find = jnp.broadcast_to(
+        batch.final_d.astype(jnp.int32)[None, None, :], (D1K, 1, B)
+    )
+
+    # Shared streams: same diagonal block for every trial.
+    blk3 = pl.BlockSpec((K, Wp, B), lambda t, i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda t, i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    # Per-trial blocks.
+    tab = pl.BlockSpec((1, 5, 5), lambda t, i: (t, 0, 0),
+                       memory_space=pltpu.VMEM)
+    tblk4 = pl.BlockSpec((K, _NSTATE, Wp, B), lambda t, i: (t * G + i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tblk3 = pl.BlockSpec((K, Wp, B), lambda t, i: (t * G + i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tblk2 = pl.BlockSpec((K, 1, B), lambda t, i: (t * G + i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    f_all, lsf2, term2 = pl.pallas_call(
+        functools.partial(_fwd_all_impl, 1),
+        grid=(Ntr, G),
+        in_specs=[blk3, blk3, blk3, blk2, blk2, blk2, tab, tab, tab],
+        out_specs=[tblk4, tblk2, tblk2],
+        out_shape=[
+            jax.ShapeDtypeStruct((Ntr * D1K, _NSTATE, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Ntr * D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((Ntr * D1K, 1, B), jnp.float32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+            + [pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((1, B), jnp.float32)]
+        ),
+        interpret=_use_interpret(),
+    )(xb, yb, valid, s1, s2, fink, tables.T, tables.Ematch, tables.Egap)
+
+    lsf = lsf2.reshape(Ntr, D1K, B)
+    term = term2.reshape(Ntr, D1K, B)
+    d_idx = batch.final_d.astype(jnp.int32)
+    b_idx = jnp.arange(B)
+    logZ = (
+        jnp.log(jnp.maximum(term[:, d_idx, b_idx], 1e-30))
+        + lsf[:, d_idx, b_idx]
+    )  # [Ntr, B]
+
+    pad2 = lambda a: jnp.pad(
+        _pad_steps(a, D1K), [(0, 2)] + [(0, 0)] * (a.ndim - 1)
+    )
+    xb_p, yb_p = pad2(batch.xb), pad2(batch.yb)
+    s1_p = pad2(batch.s1.astype(jnp.int32))[:, None, :]
+    s2_p = pad2(batch.s2.astype(jnp.int32))[:, None, :]
+
+    rev3 = pl.BlockSpec((K, Wp, B), lambda t, i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rev2 = pl.BlockSpec((K, 1, B), lambda t, i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    trev4 = pl.BlockSpec(
+        (K, _NSTATE, Wp, B), lambda t, i: (t * G + G - 1 - i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    trev3 = pl.BlockSpec(
+        (K, Wp, B), lambda t, i: (t * G + G - 1 - i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    trev2 = pl.BlockSpec(
+        (K, 1, B), lambda t, i: (t * G + G - 1 - i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    tz = pl.BlockSpec((1, 1, B), lambda t, i: (t, 0, 0),
+                      memory_space=pltpu.VMEM)
+    tlast = pl.BlockSpec((1, 32, B), lambda t, i: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    post, tcp, egp = pl.pallas_call(
+        functools.partial(_bwd_counts_impl, 1),
+        grid=(Ntr, G),
+        in_specs=[
+            trev4, trev2, rev3,
+            rev3, rev3,           # xb, yb at d
+            rev3, rev3,           # at d+1
+            rev3, rev3,           # at d+2
+            rev2, rev2,           # s1(d+1), s2(d+2)
+            rev2, rev2,           # fink, find
+            tab, tab, tab, tz,
+        ],
+        out_specs=[trev3, tlast, tlast],
+        out_shape=[
+            jax.ShapeDtypeStruct((Ntr * D1K, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Ntr, 32, B), jnp.float32),
+            jax.ShapeDtypeStruct((Ntr, 32, B), jnp.float32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+            + [pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((32, B), jnp.float32),
+               pltpu.VMEM((32, B), jnp.float32)]
+        ),
+        interpret=_use_interpret(),
+    )(
+        f_all,
+        lsf2,
+        valid,
+        xb, yb,
+        xb_p[1 : D1K + 1], yb_p[1 : D1K + 1],
+        xb_p[2 : D1K + 2], yb_p[2 : D1K + 2],
+        s1_p[1 : D1K + 1], s2_p[2 : D1K + 2],
+        fink, find,
+        tables.T, tables.Ematch, tables.Egap,
+        logZ[:, None, :],
+    )
+
+    tc = tcp[:, :25].sum(axis=2).reshape(Ntr, 5, 5) * tables.T
+    eg_rows = egp[:, :20].sum(axis=2).reshape(Ntr, 4, 5)
+    emit_gap = jnp.concatenate(
+        [jnp.zeros((Ntr, 1, 5)), eg_rows], axis=1
+    )
+    return CountsResult(
+        logZ=logZ,
+        posteriors=post.reshape(Ntr, D1K, Wp, B)[:, :D1],
+        trans_counts=tc,
+        emit_gap=emit_gap,
+    )
+
+
+def match_counts_from_posteriors_trials(
+    post: jnp.ndarray, batch: DeviceBatch
+) -> jnp.ndarray:
+    """[Ntr, 5, 5] match emission counts from per-trial posterior bands
+    (excludes the d=0 boundary, which carries no emission)."""
+    Ntr, D1 = post.shape[0], post.shape[1]
+    mask = jnp.arange(D1)[None, :, None, None] > 0
+    p = jnp.where(mask, post, 0.0)
+    out = jnp.zeros((Ntr, 5, 5), jnp.float32)
+    xi = batch.xb[:D1].astype(jnp.int32)[None]
+    yi = batch.yb[:D1].astype(jnp.int32)[None]
+    for a in range(5):
+        pa = jnp.where(xi == a, p, 0.0)
+        for cc in range(5):
+            out = out.at[:, a, cc].set(
+                jnp.where(yi == cc, pa, 0.0).sum(axis=(1, 2, 3))
+            )
+    return out
+
+
+@jax.jit
+def counts_pallas_multi_trials(tables: FbTables, mdev) -> CountsResult:
+    """Lockstep-trials variant of counts_pallas_multi: Ntr models over one
+    multi-problem-lane batch in one device call.  logZ is [Ntr, P]."""
+    Ntr = _check_trials_tables(tables)
+    D1, Wp, B = mdev.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    xb = _pad_steps(mdev.xb, D1K)
+    yb = _pad_steps(mdev.yb, D1K)
+    valid = _pad_steps(mdev.valid, D1K)
+    s1 = _pad_steps(mdev.s1, D1K)[:, None, :]
+    s2 = _pad_steps(mdev.s2, D1K)[:, None, :]
+    start = _pad_steps(mdev.start, D1K)[:, None, :]
+    fink = jnp.pad(mdev.fink, [(0, D1K - D1), (0, 0)],
+                   constant_values=-1)[:, None, :]
+    find = jnp.pad(mdev.find, [(0, D1K - D1), (0, 0)],
+                   constant_values=-1)[:, None, :]
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda t, i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda t, i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    tab = pl.BlockSpec((1, 5, 5), lambda t, i: (t, 0, 0),
+                       memory_space=pltpu.VMEM)
+    tblk4 = pl.BlockSpec((K, _NSTATE, Wp, B), lambda t, i: (t * G + i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tblk2 = pl.BlockSpec((K, 1, B), lambda t, i: (t * G + i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    f_all, lsf2, term2 = pl.pallas_call(
+        functools.partial(_fwd_all_multi_impl, 1),
+        grid=(Ntr, G),
+        in_specs=[blk3, blk3, blk3, blk2, blk2, blk2, blk2,
+                  tab, tab, tab],
+        out_specs=[tblk4, tblk2, tblk2],
+        out_shape=[
+            jax.ShapeDtypeStruct((Ntr * D1K, _NSTATE, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Ntr * D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((Ntr * D1K, 1, B), jnp.float32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+            + [pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((1, B), jnp.float32)]
+        ),
+        interpret=_use_interpret(),
+    )(xb, yb, valid, s1, s2, fink, start,
+      tables.T, tables.Ematch, tables.Egap)
+
+    lsf = lsf2.reshape(Ntr, D1K, B)
+    term = term2.reshape(Ntr, D1K, B)
+    logterm = jnp.log(jnp.maximum(term, 1e-30)) + lsf
+    sf = jnp.broadcast_to(
+        _pad_steps(mdev.step_final, D1K)[None], (Ntr, D1K, B)
+    )
+    L = jnp.take_along_axis(logterm, sf, axis=1)  # [Ntr, D1K, B]
+
+    pf = mdev.p_final_d
+    pl_ = mdev.p_lane
+    p0 = mdev.p_d0
+    base = jnp.where(
+        (p0 > 0)[None], lsf[:, jnp.maximum(p0 - 1, 0), pl_], 0.0
+    )
+    logZ = logterm[:, pf, pl_] - base  # [Ntr, P]
+
+    pad2 = lambda a: jnp.pad(
+        _pad_steps(a, D1K), [(0, 2)] + [(0, 0)] * (a.ndim - 1)
+    )
+    xb_p, yb_p = pad2(mdev.xb), pad2(mdev.yb)
+    s1_p = pad2(mdev.s1)[:, None, :]
+    s2_p = pad2(mdev.s2)[:, None, :]
+
+    rev3 = pl.BlockSpec((K, Wp, B), lambda t, i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rev2 = pl.BlockSpec((K, 1, B), lambda t, i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    trev4 = pl.BlockSpec(
+        (K, _NSTATE, Wp, B), lambda t, i: (t * G + G - 1 - i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    trev3 = pl.BlockSpec(
+        (K, Wp, B), lambda t, i: (t * G + G - 1 - i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    trev2 = pl.BlockSpec(
+        (K, 1, B), lambda t, i: (t * G + G - 1 - i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    tlast = pl.BlockSpec((1, 32, B), lambda t, i: (t, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    post, tcp, egp = pl.pallas_call(
+        functools.partial(_bwd_counts_multi_impl, 1),
+        grid=(Ntr, G),
+        in_specs=[
+            trev4, trev2, rev3,
+            rev3, rev3,
+            rev3, rev3,
+            rev3, rev3,
+            rev2, rev2,
+            rev2, rev2, rev2,
+            tab, tab, tab,
+            trev2,
+        ],
+        out_specs=[trev3, tlast, tlast],
+        out_shape=[
+            jax.ShapeDtypeStruct((Ntr * D1K, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Ntr, 32, B), jnp.float32),
+            jax.ShapeDtypeStruct((Ntr, 32, B), jnp.float32),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+            + [pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((32, B), jnp.float32),
+               pltpu.VMEM((32, B), jnp.float32)]
+        ),
+        interpret=_use_interpret(),
+    )(
+        f_all,
+        lsf2,
+        valid,
+        xb, yb,
+        xb_p[1 : D1K + 1], yb_p[1 : D1K + 1],
+        xb_p[2 : D1K + 2], yb_p[2 : D1K + 2],
+        s1_p[1 : D1K + 1], s2_p[2 : D1K + 2],
+        fink, find, start,
+        tables.T, tables.Ematch, tables.Egap,
+        L.reshape(Ntr * D1K, 1, B),
+    )
+
+    tc = tcp[:, :25].sum(axis=2).reshape(Ntr, 5, 5) * tables.T
+    eg_rows = egp[:, :20].sum(axis=2).reshape(Ntr, 4, 5)
+    emit_gap = jnp.concatenate(
+        [jnp.zeros((Ntr, 1, 5)), eg_rows], axis=1
+    )
+    return CountsResult(
+        logZ=logZ,
+        posteriors=post.reshape(Ntr, D1K, Wp, B)[:, :D1],
+        trans_counts=tc,
+        emit_gap=emit_gap,
+    )
+
+
+def match_counts_from_posteriors_multi_trials(
+    post: jnp.ndarray, mdev
+) -> jnp.ndarray:
+    """[Ntr, 5, 5] match emission counts over multi-problem lanes, per
+    trial (every problem's start step carries no emission)."""
+    Ntr, D1 = post.shape[0], post.shape[1]
+    mask = (mdev.start[:D1] == 0)[None, :, None, :]
+    p = jnp.where(mask, post, 0.0)
+    out = jnp.zeros((Ntr, 5, 5), jnp.float32)
+    xi = mdev.xb[:D1].astype(jnp.int32)[None]
+    yi = mdev.yb[:D1].astype(jnp.int32)[None]
+    for a in range(5):
+        pa = jnp.where(xi == a, p, 0.0)
+        for cc in range(5):
+            out = out.at[:, a, cc].set(
+                jnp.where(yi == cc, pa, 0.0).sum(axis=(1, 2, 3))
+            )
     return out
