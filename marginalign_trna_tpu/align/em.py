@@ -211,6 +211,7 @@ def make_tables_stacked(hmms: Sequence[PairHmm]):
         T=jnp.stack([t.T for t in ts]),
         Ematch=jnp.stack([t.Ematch for t in ts]),
         Egap=jnp.stack([t.Egap for t in ts]),
+        pi=jnp.stack([t.pi for t in ts]),
     )
 
 

@@ -87,7 +87,7 @@ def fb_counts_trials(tables_stacked: FbTables, batch: DeviceBatch):
         lambda t: forward_backward(
             t, batch, want_posteriors=False, want_counts=True
         ),
-        in_axes=(FbTables(T=0, Ematch=0, Egap=0),),
+        in_axes=(FbTables(T=0, Ematch=0, Egap=0, pi=0),),
     )(tables_stacked)
     return res.logZ, res.trans_counts, res.emit_match, res.emit_gap
 
