@@ -123,6 +123,27 @@ def static_tables(tables: FbTables):
     return (tup(t), tup(em), tup(eg))
 
 
+def check_uniform_pi(tables: FbTables) -> None:
+    """The Pallas kernels bake the uniform start distribution (1/5) into
+    their start injections and logZ extraction; tables.pi exists for the
+    XLA-scan engine and the numpy oracle.  The HMM file format carries no
+    start distribution and pi is never trained, so pi is uniform everywhere
+    today — this guard makes a future non-uniform pi fail loudly instead of
+    silently diverging between the Pallas and XLA/oracle paths.
+
+    No-op on traced values (calls from inside jit keep working)."""
+    pi = tables.pi
+    if isinstance(pi, jax.core.Tracer):
+        return
+    arr = np.asarray(pi, np.float32)
+    if not np.allclose(arr, 1.0 / arr.shape[-1], atol=1e-6):
+        raise NotImplementedError(
+            "Pallas FB kernels assume a uniform start distribution "
+            f"(got pi={arr.tolist()}); use the XLA engine "
+            "(MARGINALIGN_KERNEL=xla) or extend the kernels to load pi."
+        )
+
+
 def _flat_gap_consts(st) -> Optional[Tuple[float, float, float, float]]:
     """Per-gap-state constant emission values when every gap row is flat
     (true for all shipped/normalised models), else None."""
@@ -668,14 +689,21 @@ def _run_backward(tables, batch, fwd: PallasFwdResult, st):
 
 
 @jax.jit
+def _posteriors_pallas_jit(
+    tables: FbTables, batch: DeviceBatch
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    fwd = _run_forward(tables, batch, None)
+    post = _run_backward(tables, batch, fwd, None)
+    return fwd.logZ, post
+
+
 def posteriors_pallas(
     tables: FbTables, batch: DeviceBatch
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full FB with dynamic model tables (works for any model; used when the
     model changes between calls, e.g. inside EM)."""
-    fwd = _run_forward(tables, batch, None)
-    post = _run_backward(tables, batch, fwd, None)
-    return fwd.logZ, post
+    check_uniform_pi(tables)
+    return _posteriors_pallas_jit(tables, batch)
 
 
 @functools.partial(jax.jit, static_argnames=("st",))
@@ -696,6 +724,7 @@ def posteriors_pallas_specialised(
     flat gap emissions (all shipped/normalised ones) the match emissions are
     precomputed in a parallel XLA pass and gap emissions fold into the
     transition constants, cutting the sequential kernels' per-cell work."""
+    check_uniform_pi(tables)
     return _posteriors_pallas_static(static_tables(tables), batch)
 
 
@@ -1362,4 +1391,5 @@ def posteriors_pallas_multi(tables: FbTables, mdev: MultiDeviceBatch):
     """(logZ [P], posterior band [D1, Wp, B]) over multi-problem lanes
     (band.pack_multi_banded_batch).  Model-specialised, flat-gap models
     (all shipped/normalised ones)."""
+    check_uniform_pi(tables)
     return _posteriors_multi_static(static_tables(tables), mdev)

@@ -33,7 +33,7 @@ from .fb import DeviceBatch, FbTables
 from .fb_pallas import (
     STEP_BLOCK, _TableView, _bwd_divide_step, _bwd_rescale_step, _emissions,
     _fwd_divide_step, _fwd_rescale_step, _max5, _mix, _pad_steps,
-    _roll_shift, _sum5, _use_interpret,
+    _roll_shift, _sum5, _use_interpret, check_uniform_pi,
 )
 
 _NSTATE = 5
@@ -60,6 +60,7 @@ def _fwd_all_impl(
     def _init():
         zero = jnp.zeros_like(f1_refs[0][:, :])
         row0 = jax.lax.broadcasted_iota(jnp.int32, zero.shape, 0) == 0
+        # Uniform start distribution baked in (check_uniform_pi at entry).
         init = jnp.where(row0, 0.2, 0.0)
         for s in range(_NSTATE):
             f1_refs[s][:, :] = init
@@ -291,7 +292,7 @@ class CountsResult(NamedTuple):
 
 
 @jax.jit
-def counts_pallas(tables: FbTables, batch: DeviceBatch) -> CountsResult:
+def _counts_pallas_jit(tables: FbTables, batch: DeviceBatch) -> CountsResult:
     D1, Wp, B = batch.xb.shape
     K = STEP_BLOCK
     D1K = -(-D1 // K) * K
@@ -406,6 +407,11 @@ def counts_pallas(tables: FbTables, batch: DeviceBatch) -> CountsResult:
     )
 
 
+def counts_pallas(tables: FbTables, batch: DeviceBatch) -> CountsResult:
+    check_uniform_pi(tables)
+    return _counts_pallas_jit(tables, batch)
+
+
 def match_counts_from_posteriors(
     post: jnp.ndarray, batch: DeviceBatch
 ) -> jnp.ndarray:
@@ -475,6 +481,7 @@ def _fwd_all_multi_impl(
         mix_g = [_mix(T, f1, t, zero_arr) for t in range(1, _NSTATE)]
 
         kidx = jax.lax.broadcasted_iota(jnp.int32, zero_arr.shape, 0)
+        # Uniform start distribution baked in (check_uniform_pi at entry).
         inj = jnp.where((kidx == 0) & (start_ref[kb] != 0), 0.2, 0.0)
 
         new = [None] * _NSTATE
@@ -655,9 +662,7 @@ _bwd_counts_kernel_multi = functools.partial(_bwd_counts_multi_impl, 0)
 
 
 @jax.jit
-def counts_pallas_multi(tables: FbTables, mdev) -> CountsResult:
-    """Baum-Welch expected counts over multi-problem lanes.  logZ is per
-    problem [P]; counts/posteriors sum over every problem in the batch."""
+def _counts_pallas_multi_jit(tables: FbTables, mdev) -> CountsResult:
     D1, Wp, B = mdev.xb.shape
     K = STEP_BLOCK
     D1K = -(-D1 // K) * K
@@ -778,6 +783,13 @@ def counts_pallas_multi(tables: FbTables, mdev) -> CountsResult:
     )
 
 
+def counts_pallas_multi(tables: FbTables, mdev) -> CountsResult:
+    """Baum-Welch expected counts over multi-problem lanes.  logZ is per
+    problem [P]; counts/posteriors sum over every problem in the batch."""
+    check_uniform_pi(tables)
+    return _counts_pallas_multi_jit(tables, mdev)
+
+
 def match_counts_from_posteriors_multi(post: jnp.ndarray, mdev) -> jnp.ndarray:
     """[5, 5] match emission counts over multi-problem lanes: every
     problem's start step carries no emission (local d = 0), and grid
@@ -800,20 +812,14 @@ def match_counts_from_posteriors_multi(post: jnp.ndarray, mdev) -> jnp.ndarray:
 
 def _check_trials_tables(tables: FbTables) -> int:
     assert tables.T.ndim == 3, "trials tables must be stacked [Ntr, 5, 5]"
+    check_uniform_pi(tables)
     return tables.T.shape[0]
 
 
 @jax.jit
-def counts_pallas_trials(tables: FbTables, batch: DeviceBatch) -> CountsResult:
-    """Baum-Welch expected counts for Ntr models over ONE batch in ONE
-    device call: the trials axis is the major grid dimension, streaming one
-    (T, Ematch, Egap) table per trial while the per-step band inputs are
-    re-streamed per trial.  tables leaves are stacked [Ntr, ...]; returns
-    logZ [Ntr, B], counts [Ntr, 5, 5], posteriors [Ntr, D1, Wp, B].
-
-    Replaces the reference's serial EM trials (cPecanEm
-    expectationMaximisationTrials, called at src/margin/marginAlignLib.py:
-    219-221) with lockstep trials — one executable, one call per E-step."""
+def _counts_pallas_trials_jit(
+    tables: FbTables, batch: DeviceBatch
+) -> CountsResult:
     Ntr = _check_trials_tables(tables)
     D1, Wp, B = batch.xb.shape
     K = STEP_BLOCK
@@ -954,6 +960,20 @@ def counts_pallas_trials(tables: FbTables, batch: DeviceBatch) -> CountsResult:
     )
 
 
+def counts_pallas_trials(tables: FbTables, batch: DeviceBatch) -> CountsResult:
+    """Baum-Welch expected counts for Ntr models over ONE batch in ONE
+    device call: the trials axis is the major grid dimension, streaming one
+    (T, Ematch, Egap) table per trial while the per-step band inputs are
+    re-streamed per trial.  tables leaves are stacked [Ntr, ...]; returns
+    logZ [Ntr, B], counts [Ntr, 5, 5], posteriors [Ntr, D1, Wp, B].
+
+    Replaces the reference's serial EM trials (cPecanEm
+    expectationMaximisationTrials, called at src/margin/marginAlignLib.py:
+    219-221) with lockstep trials — one executable, one call per E-step."""
+    check_uniform_pi(tables)
+    return _counts_pallas_trials_jit(tables, batch)
+
+
 def match_counts_from_posteriors_trials(
     post: jnp.ndarray, batch: DeviceBatch
 ) -> jnp.ndarray:
@@ -975,9 +995,7 @@ def match_counts_from_posteriors_trials(
 
 
 @jax.jit
-def counts_pallas_multi_trials(tables: FbTables, mdev) -> CountsResult:
-    """Lockstep-trials variant of counts_pallas_multi: Ntr models over one
-    multi-problem-lane batch in one device call.  logZ is [Ntr, P]."""
+def _counts_pallas_multi_trials_jit(tables: FbTables, mdev) -> CountsResult:
     Ntr = _check_trials_tables(tables)
     D1, Wp, B = mdev.xb.shape
     K = STEP_BLOCK
@@ -1119,6 +1137,13 @@ def counts_pallas_multi_trials(tables: FbTables, mdev) -> CountsResult:
         trans_counts=tc,
         emit_gap=emit_gap,
     )
+
+
+def counts_pallas_multi_trials(tables: FbTables, mdev) -> CountsResult:
+    """Lockstep-trials variant of counts_pallas_multi: Ntr models over one
+    multi-problem-lane batch in one device call.  logZ is [Ntr, P]."""
+    check_uniform_pi(tables)
+    return _counts_pallas_multi_trials_jit(tables, mdev)
 
 
 def match_counts_from_posteriors_multi_trials(

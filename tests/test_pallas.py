@@ -99,3 +99,24 @@ def test_counts_pallas_matches_engine(rng):
     em = match_counts_from_posteriors(res.posteriors, dev)
     assert np.allclose(np.asarray(em), np.asarray(ref.emit_match),
                        rtol=1e-3, atol=1e-3)
+
+
+def test_nonuniform_pi_rejected(rng):
+    """Pallas entry points refuse a non-uniform start distribution instead
+    of silently diverging from the XLA/oracle paths (ADVICE r1)."""
+    import jax.numpy as jnp
+
+    from marginalign_trna_tpu.ops.fb_pallas import (
+        check_uniform_pi, posteriors_pallas, posteriors_pallas_specialised,
+    )
+    from marginalign_trna_tpu.ops.fb_pallas_counts import counts_pallas
+
+    hmm, batch = _mixed_batch(rng)
+    tables = make_tables(hmm)
+    dev = device_batch(batch)
+    bad = tables._replace(pi=jnp.asarray([0.6, 0.1, 0.1, 0.1, 0.1]))
+    check_uniform_pi(tables)  # uniform passes
+    for fn in (posteriors_pallas, posteriors_pallas_specialised,
+               counts_pallas):
+        with pytest.raises(NotImplementedError):
+            fn(bad, dev)
