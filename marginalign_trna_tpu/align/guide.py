@@ -228,6 +228,27 @@ def _best_candidate(
     return best
 
 
+MULTI_MAX_GUIDE_STEPS = 512  # multi-pack lanes when every problem fits this
+
+
+def _use_multi_guide(sizes: List[int]) -> bool:
+    """Multi-problem lane packing policy for the guide stage: accelerator +
+    short problems (tRNA-scale reads).  Guide batches are otherwise packed
+    unquantized, so every new input shape costs a fresh kernel compile;
+    packed lanes keep one quantized shape across calls.  Override with
+    MARGINALIGN_MULTI=on|off (same switch as the realign/EM paths)."""
+    import os as _os
+
+    mode = _os.environ.get("MARGINALIGN_MULTI", "")
+    if mode == "off":
+        return False
+    if mode == "on":
+        return True
+    from ..ops.dispatch import use_pallas
+
+    return use_pallas() and max(sizes) <= MULTI_MAX_GUIDE_STEPS
+
+
 def align_candidates(
     candidates: List[_Candidate], index: KmerIndex, cfg: GuideConfig
 ) -> List[SamRecord]:
@@ -254,11 +275,36 @@ def align_candidates(
         pi.append(m)
         paths.append((np.asarray(pd), np.asarray(pi)))
 
-    batch = pack_banded_batch(reads, windows, width=cfg.band_width, paths=paths)
     params = jnp.asarray(
         [cfg.nw.match, cfg.nw.mismatch, cfg.nw.gap_open, cfg.nw.gap_extend],
         jnp.float32,
     )
+
+    sizes = [len(r) + len(w) + 1 for r, w in zip(reads, windows)]
+    if _use_multi_guide(sizes):
+        from ..ops.band import pack_multi_banded_batch
+        from ..ops.fb_pallas import multi_device_batch
+        from ..ops.nw import traceback_multi
+        from ..ops.wavefront_pallas import banded_nw_pallas_multi
+        from ..parallel.runtime import with_retries
+
+        mb = pack_multi_banded_batch(
+            reads, windows, width=cfg.band_width, paths=paths
+        )
+        res = with_retries(
+            lambda: banded_nw_pallas_multi(params, multi_device_batch(mb))
+        )
+        pointers = np.asarray(res.pointers)
+        final_states = np.asarray(res.final_state)
+        records = []
+        for p, c in enumerate(candidates):
+            ops = traceback_multi(pointers, mb, p, int(final_states[p]))
+            rec = _ops_to_record(c, ops, index)
+            if rec is not None:
+                records.append(rec)
+        return records
+
+    batch = pack_banded_batch(reads, windows, width=cfg.band_width, paths=paths)
     res = banded_nw_auto(params, device_batch(batch))
     pointers = np.asarray(res.pointers)
     final_states = np.asarray(res.final_state)

@@ -150,13 +150,37 @@ def traceback(
     """Host traceback for read b: returns aligned ops [(op, len)] with
     0=M, 1=I (read), 2=D (ref) in prefix coordinates from (m,n) to (0,0).
     Uses the native decoder when built (native/margin_native.cpp)."""
+    m, n = int(batch.m[b]), int(batch.n[b])
+    return _traceback_arrays(
+        np.ascontiguousarray(pointers), batch.lo[:, b], b, m, n, final_state
+    )
+
+
+def traceback_multi(
+    pointers: np.ndarray, mb, p: int, final_state: int = S_M
+) -> List[Tuple[int, int]]:
+    """Traceback for problem p of a multi-problem batch
+    (band.pack_multi_banded_batch): the problem's step range and lane slice
+    out to an ordinary single-problem view."""
+    pr = mb.problems[p]
+    ptr = np.ascontiguousarray(
+        pointers[pr.d0 : pr.final_d + 1, :, pr.lane : pr.lane + 1]
+    )
+    lo = np.ascontiguousarray(mb.lo[pr.d0 : pr.final_d + 1, pr.lane])
+    return _traceback_arrays(ptr, lo, 0, pr.m, pr.n, final_state)
+
+
+def _traceback_arrays(
+    pointers: np.ndarray,
+    lo: np.ndarray,
+    b: int,
+    m: int,
+    n: int,
+    final_state: int,
+) -> List[Tuple[int, int]]:
     from .. import native as _native
 
-    m, n = int(batch.m[b]), int(batch.n[b])
-    lo = batch.lo[:, b]
-    nat = _native.nw_traceback(
-        np.ascontiguousarray(pointers), lo, b, m, n, final_state
-    )
+    nat = _native.nw_traceback(pointers, lo, b, m, n, final_state)
     if nat is not None:
         return nat
     i, j = m, n

@@ -187,6 +187,155 @@ def banded_nw_pallas(params_arr: jnp.ndarray, batch: DeviceBatch):
     )
 
 
+# ----------------------------------------------- NW over multi-problem lanes
+
+
+def _nw_kernel_multi(
+    xb_ref, yb_ref, valid_ref, s1_ref, s2_ref, start_ref, fink_ref, find_ref,
+    params_ref,
+    ptr_ref, tm_ref, tx_ref, ty_ref,
+    m1_ref, x1_ref, y1_ref, m2_ref, x2_ref, y2_ref,
+):
+    """Guide Viterbi over packed lanes (band.pack_multi_banded_batch): each
+    problem's local d = 0 re-seeds M = 0 at band row 0 (spacer steps have
+    pushed both frontier generations to NEG), and terminal scores stream out
+    gated by the per-step terminal markers."""
+    i = pl.program_id(0)
+    match = params_ref[0, 0]
+    mismatch = params_ref[0, 1]
+    gap_open = params_ref[0, 2]
+    gap_extend = params_ref[0, 3]
+
+    @pl.when(i == 0)
+    def _init():
+        neg = jnp.full_like(m1_ref[:, :], NEG)
+        m1_ref[:, :] = neg
+        x1_ref[:, :] = neg
+        y1_ref[:, :] = neg
+        m2_ref[:, :] = neg
+        x2_ref[:, :] = neg
+        y2_ref[:, :] = neg
+
+    f1 = [m1_ref[:, :], x1_ref[:, :], y1_ref[:, :]]
+    f2 = [m2_ref[:, :], x2_ref[:, :], y2_ref[:, :]]
+
+    for kb in range(STEP_BLOCK):
+        xb = xb_ref[kb].astype(jnp.float32)
+        yb = yb_ref[kb].astype(jnp.float32)
+        valid = valid_ref[kb].astype(jnp.float32) != 0.0
+        s1 = s1_ref[kb]
+        s2 = s2_ref[kb]
+
+        sub = jnp.where(
+            (xb == yb) & (xb < 4.0), match,
+            jnp.where((xb >= 4.0) | (yb >= 4.0), 0.0, mismatch),
+        )
+
+        diag = [_roll_shift(f2[s], s2 == 2, s2 == 0) for s in range(3)]
+        m_val, m_ptr = _max_argmax3(diag[0], diag[1], diag[2])
+        m_val = m_val + sub
+
+        hz_m = _roll_shift(f1[0], s1 == 1, False)
+        hz_x = _roll_shift(f1[1], s1 == 1, False)
+        ix_open = hz_m + gap_open
+        ix_ext = hz_x + gap_extend
+        ix_val = jnp.maximum(ix_open, ix_ext)
+        ix_ptr = (ix_ext > ix_open).astype(jnp.int32)
+
+        vt_m = _roll_shift(f1[0], False, s1 == 0)
+        vt_y = _roll_shift(f1[2], False, s1 == 0)
+        iy_open = vt_m + gap_open
+        iy_ext = vt_y + gap_extend
+        iy_val = jnp.maximum(iy_open, iy_ext)
+        iy_ptr = (iy_ext > iy_open).astype(jnp.int32)
+
+        new = [
+            jnp.where(valid, m_val, NEG),
+            jnp.where(valid, ix_val, NEG),
+            jnp.where(valid, iy_val, NEG),
+        ]
+        ptr = m_ptr | (ix_ptr << 2) | (iy_ptr << 3)
+
+        kidx = jax.lax.broadcasted_iota(jnp.int32, new[0].shape, 0)
+        seed = (kidx == 0) & (start_ref[kb] != 0)
+        new[0] = jnp.where(seed, 0.0, new[0])
+        new[1] = jnp.where(seed, NEG, new[1])
+        new[2] = jnp.where(seed, NEG, new[2])
+        ptr = jnp.where(seed, 0, ptr)
+
+        sel = (kidx == fink_ref[kb]) & (find_ref[kb] >= 0)
+        tm_ref[kb] = jnp.where(sel, new[0], NEG).max(axis=0, keepdims=True)
+        tx_ref[kb] = jnp.where(sel, new[1], NEG).max(axis=0, keepdims=True)
+        ty_ref[kb] = jnp.where(sel, new[2], NEG).max(axis=0, keepdims=True)
+        ptr_ref[kb] = ptr
+        f1, f2 = new, f1
+
+    m1_ref[:, :], x1_ref[:, :], y1_ref[:, :] = f1
+    m2_ref[:, :], x2_ref[:, :], y2_ref[:, :] = f2
+
+
+@jax.jit
+def banded_nw_pallas_multi(params_arr: jnp.ndarray, mdev):
+    """Guide Viterbi over multi-problem lanes.  mdev is a
+    fb_pallas.MultiDeviceBatch; returns NwResult with per-problem score and
+    final_state ([P]) and the packed pointer stream [D1, Wp, B].
+
+    Removes the guide stage's compile diversity: the reference re-runs its
+    mapper binaries per input (src/margin/mappers/last.py:24-26) while the
+    single-problem TPU path recompiles per batch shape; packed lanes keep
+    one quantized shape across calls."""
+    from .nw import NwResult
+
+    D1, Wp, B = mdev.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    xb = _pad_steps(mdev.xb, D1K)
+    yb = _pad_steps(mdev.yb, D1K)
+    valid = _pad_steps(mdev.valid, D1K)
+    s1 = _pad_steps(mdev.s1, D1K)[:, None, :]
+    s2 = _pad_steps(mdev.s2, D1K)[:, None, :]
+    start = _pad_steps(mdev.start, D1K)[:, None, :]
+    fink = jnp.pad(mdev.fink, [(0, D1K - D1), (0, 0)],
+                   constant_values=-1)[:, None, :]
+    find = jnp.pad(mdev.find, [(0, D1K - D1), (0, 0)],
+                   constant_values=-1)[:, None, :]
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    ptrs, tm, tx, ty = pl.pallas_call(
+        _nw_kernel_multi,
+        grid=(G,),
+        in_specs=[blk3, blk3, blk3, blk2, blk2, blk2, blk2, blk2, full],
+        out_specs=[blk3, blk2, blk2, blk2],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.int32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Wp, B), jnp.float32) for _ in range(6)],
+        interpret=_use_interpret(),
+    )(xb, yb, valid, s1, s2, start, fink, find,
+      params_arr.astype(jnp.float32)[None, :])
+
+    pf = mdev.p_final_d.astype(jnp.int32)
+    pl_ = mdev.p_lane.astype(jnp.int32)
+    term = jnp.stack(
+        [tm[pf, 0, pl_], tx[pf, 0, pl_], ty[pf, 0, pl_]], axis=-1
+    )  # [P, 3]
+    return NwResult(
+        pointers=ptrs[:D1].astype(jnp.uint8),
+        score=jnp.max(term, axis=-1),
+        final_state=jnp.argmax(term, axis=-1),
+    )
+
+
 # ------------------------------------------------------------------ MEA
 
 

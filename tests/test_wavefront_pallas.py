@@ -97,3 +97,42 @@ def test_mea_decode_device_path_matches_host_path(rng):
     finally:
         del os.environ["MARGINALIGN_MEA"]
     assert host_ops[:3] == dev_ops[:3]
+
+
+def test_nw_pallas_multi_matches_single(rng):
+    """Per-problem scores/final states/tracebacks from multi-problem lanes
+    equal the single-problem engine's."""
+    from marginalign_trna_tpu.ops.band import pack_multi_banded_batch
+    from marginalign_trna_tpu.ops.fb_pallas import multi_device_batch
+    from marginalign_trna_tpu.ops.nw import traceback_multi
+    from marginalign_trna_tpu.ops.wavefront_pallas import (
+        banded_nw_pallas_multi,
+    )
+
+    reads = [rng.integers(0, 4, size=m).astype(np.int8)
+             for m in (9, 17, 30, 22, 13)]
+    refs = [rng.integers(0, 4, size=n).astype(np.int8)
+            for n in (12, 15, 28, 25, 11)]
+    refs[2] = reads[2][:28].copy()
+    refs[2][5] = (refs[2][5] + 1) % 4
+    params = jnp.asarray([1.0, -2.0, -3.0, -1.0], jnp.float32)
+
+    single = pack_banded_batch(reads, refs, width=9, pad_batch_to=8)
+    ref = banded_nw(params, device_batch(single))
+    ref_states = np.asarray(ref.final_state)
+    ref_ptrs = np.asarray(ref.pointers)
+
+    # Small step budget forces several problems per lane.
+    mb = pack_multi_banded_batch(reads, refs, width=9, pad_steps_to=128)
+    assert len({pr.lane for pr in mb.problems}) < len(reads)
+    got = banded_nw_pallas_multi(params, multi_device_batch(mb))
+    got_states = np.asarray(got.final_state)
+    got_ptrs = np.asarray(got.pointers)
+
+    assert np.allclose(np.asarray(got.score), np.asarray(ref.score)[:5],
+                       rtol=1e-5, atol=1e-4)
+    assert np.array_equal(got_states, ref_states[:5])
+    for p in range(5):
+        ops_ref = traceback(ref_ptrs, single, p, int(ref_states[p]))
+        ops_got = traceback_multi(got_ptrs, mb, p, int(got_states[p]))
+        assert ops_ref == ops_got
