@@ -34,9 +34,9 @@ def main():
     from __graft_entry__ import _example_batch
 
     platform = jax.devices()[0].platform
-    # Batch sized for one chip: 1536 lanes of ~3.5kb reads
-    # (largest that holds all streams in HBM with headroom).
-    n_reads = int(os.environ.get("BENCH_READS", "1536"))
+    # Batch sized for one chip: 2048 lanes of ~3.5kb reads
+    # (largest that holds all streams in HBM; 3072 OOMs).
+    n_reads = int(os.environ.get("BENCH_READS", "2048"))
     read_len = int(os.environ.get("BENCH_READ_LEN", "3500"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 

@@ -156,6 +156,49 @@ def _flat_gap_consts(st) -> Optional[Tuple[float, float, float, float]]:
     return tuple(consts)
 
 
+class _GapChain(NamedTuple):
+    """Scaled gap-state representation constants (see _gap_chain_consts).
+    Lists are indexed by gap state - 1 (states 1..4)."""
+
+    k: Tuple[float, ...]      # stored fwd f'[t] = f[t] / k[t]
+    c: Tuple[float, ...]      # fwd self coefficient: g_t = f0 + c[t] f'[t]
+    mcoef: Tuple[float, ...]  # f'[t] coefficient in the fwd match mix
+    r: Tuple[float, ...]      # bwd injection constant (b'[t] = b[t] r[t])
+    cb: Tuple[float, ...]     # bwd self coefficient
+    m0: Tuple[float, ...]     # q'[t] coefficient in the bwd match row
+
+
+def _gap_chain_consts(st, gc) -> Optional[_GapChain]:
+    """Constants for the scaled gap-state representation, available when
+    every gap state exchanges mass only with the match state and itself
+    (T[s][t] = T[t][s] = 0 for gap s != t, and M<->t transitions nonzero).
+    True for every cPecan model family (three/fiveState, sym/asym:
+    reference src/margin/mappers/last_hmm_*.txt transitions).
+
+    In that regime each gap mix collapses to one fused multiply-add:
+      forward   f'[t]_d = roll(f0 + c_t f'[t])_{d-1} * valid,
+                with true f[t] = (gc_t T[0][t]) f'[t]
+      backward  b'[t]_d = (q0 + cb_t q'[t]) * valid,
+                with true b[t] = b'[t] / r_t, r_t = 1 / T[t][0]
+    instead of two multiplies and an add per state per step."""
+    if gc is None:
+        return None
+    T = st[0]
+    for t in range(1, _NSTATE):
+        if T[0][t] <= 0.0 or T[t][0] <= 0.0:
+            return None
+        for s in range(1, _NSTATE):
+            if s != t and (T[s][t] != 0.0 or T[t][s] != 0.0):
+                return None
+    k = tuple(gc[t - 1] * T[0][t] for t in range(1, _NSTATE))
+    c = tuple(gc[t - 1] * T[t][t] for t in range(1, _NSTATE))
+    mcoef = tuple(T[t][0] * k[t - 1] for t in range(1, _NSTATE))
+    r = tuple(1.0 / T[t][0] for t in range(1, _NSTATE))
+    cb = tuple(gc[t - 1] * T[t][t] for t in range(1, _NSTATE))
+    m0 = tuple(gc[t - 1] * T[0][t] * T[t][0] for t in range(1, _NSTATE))
+    return _GapChain(k=k, c=c, mcoef=mcoef, r=r, cb=cb, m0=m0)
+
+
 class _TableView:
     """Uniform [a][b] scalar access over either loaded VMEM arrays or baked
     float constants, with is_zero / flat-row knowledge for folding."""
@@ -756,14 +799,21 @@ def _make_bwd_kernel_pre_first(st, gc):
     cumulative log-scale per step, and the origin row from which logZ is
     read (Z = sum_s pi_s * B_s(0,0)).  This removes the forward's per-step
     terminal-extraction work entirely: the forward then consumes
-    (bm, bls, logZ) and emits normalised posteriors in-kernel."""
+    (bm, bls, logZ) and emits normalised posteriors in-kernel.
+
+    With the gap-chain transition pattern (_gap_chain_consts) gap states
+    are carried as b'[t] = b[t] / T[t][0], collapsing each gap row to one
+    fused multiply-add, and the terminal injection becomes a select
+    overwrite (the accumulator is provably zero at terminal cells: every
+    later diagonal of the lane is invalid, so all q streams are zero)."""
     T = st[0]
+    ch = _gap_chain_consts(st, gc)
 
     def kernel(
-        valid_ref, em2_ref, s1n_ref, s2n_ref, fink_ref, find_ref,
+        valid_ref, em_ref, s1n_ref, s2n_ref, fink_ref, find_ref,
         bm_out_ref, bls_out_ref, zrow_ref,
         b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
-        bls_ref, cprev_ref,
+        bls_ref, cprev_ref, eh1_ref, eh2_ref,
     ):
         b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
         b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
@@ -778,11 +828,18 @@ def _make_bwd_kernel_pre_first(st, gc):
                 b2_refs[s][:, :] = zero
             bls_ref[:, :] = jnp.zeros_like(bls_ref)
             cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+            eh1_ref[:, :] = zero
+            eh2_ref[:, :] = zero
 
         b1 = [b1_refs[s][:, :] for s in range(_NSTATE)]
         b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
         bls = bls_ref[:, :]
         cprev = cprev_ref[:, :]
+        # em delay line: walking d downward, em(d+1)/em(d+2) were read one
+        # and two steps ago from the aligned em stream — no host-side
+        # shifted copy of the emission array.
+        e1 = eh1_ref[:, :]
+        e2 = eh2_ref[:, :]
 
         blk_base = (pl.num_programs(0) - 1 - i) * K
         for t in range(K):
@@ -794,32 +851,46 @@ def _make_bwd_kernel_pre_first(st, gc):
             s2n = s2n_ref[kb]
 
             q = [None] * _NSTATE
-            q[0] = _roll_shift(em2_ref[kb] * b2[0], s2n == 0, s2n == 2)
+            q[0] = _roll_shift(e2 * b2[0], s2n == 0, s2n == 2)
             if _bwd_divide_step(kb):
                 q[0] = q[0] / cprev
             for s in (1, 3):
                 q[s] = _roll_shift(b1[s], False, s1n == 1)
             for s in (2, 4):
                 q[s] = _roll_shift(b1[s], s1n == 0, False)
+            e2 = e1
+            e1 = em_ref[kb]
 
             kidx = jax.lax.broadcasted_iota(jnp.int32, q[0].shape, 0)
-            inj = jnp.where(
-                (kidx == fink_ref[kb]) & (d == find_ref[kb]), 1.0, 0.0
-            )
-
-            zero_arr = jnp.zeros_like(q[0])
             new = [None] * _NSTATE
-            for s in range(_NSTATE):
-                acc = None
-                for u in range(_NSTATE):
-                    v = T[s][u] * (1.0 if u == 0 else gc[u - 1])
-                    if v == 0.0:
-                        continue
-                    term = q[u] * v
-                    acc = term if acc is None else acc + term
-                if acc is None:
-                    acc = zero_arr
-                new[s] = (acc + inj) * valid
+            if ch is not None:
+                sel_k = jnp.where(
+                    find_ref[kb] == d, fink_ref[kb], -1
+                )  # [1, B]
+                mask = kidx == sel_k
+                acc0 = T[0][0] * q[0]
+                for s in range(1, _NSTATE):
+                    acc0 = acc0 + ch.m0[s - 1] * q[s]
+                new[0] = jnp.where(mask, 1.0, acc0) * valid
+                for s in range(1, _NSTATE):
+                    accs = q[0] + ch.cb[s - 1] * q[s]
+                    new[s] = jnp.where(mask, ch.r[s - 1], accs) * valid
+            else:
+                inj = jnp.where(
+                    (kidx == fink_ref[kb]) & (d == find_ref[kb]), 1.0, 0.0
+                )
+                zero_arr = jnp.zeros_like(q[0])
+                for s in range(_NSTATE):
+                    acc = None
+                    for u in range(_NSTATE):
+                        v = T[s][u] * (1.0 if u == 0 else gc[u - 1])
+                        if v == 0.0:
+                            continue
+                        term = q[u] * v
+                        acc = term if acc is None else acc + term
+                    if acc is None:
+                        acc = zero_arr
+                    new[s] = (acc + inj) * valid
 
             if _bwd_rescale_step(kb):
                 bmax = _max5(new).max(axis=0, keepdims=True)
@@ -838,16 +909,26 @@ def _make_bwd_kernel_pre_first(st, gc):
             b1 = b_out
 
         # Origin row: 0.2 * sum_s b(0)[s][row 0]; written every grid step,
-        # the last (d = 0) write is the one that lands.
-        zrow_ref[0] = 0.2 * (
-            b1[0][0:1] + b1[1][0:1] + b1[2][0:1] + b1[3][0:1] + b1[4][0:1]
-        )
+        # the last (d = 0) write is the one that lands.  Scaled gap states
+        # weight back by T[t][0] (b[t] = b'[t] * T[t][0]).
+        if ch is not None:
+            zr = b1[0][0:1]
+            for s in range(1, _NSTATE):
+                zr = zr + T[s][0] * b1[s][0:1]
+            zrow_ref[0] = 0.2 * zr
+        else:
+            zrow_ref[0] = 0.2 * (
+                b1[0][0:1] + b1[1][0:1] + b1[2][0:1] + b1[3][0:1]
+                + b1[4][0:1]
+            )
 
         for s in range(_NSTATE):
             b1_refs[s][:, :] = b1[s]
             b2_refs[s][:, :] = b2[s]
         bls_ref[:, :] = bls
         cprev_ref[:, :] = cprev
+        eh1_ref[:, :] = e1
+        eh2_ref[:, :] = e2
 
     return kernel
 
@@ -856,8 +937,14 @@ def _make_fwd_kernel_pre_post(st, gc):
     """Forward for the backward-first specialised path: no terminal
     extraction at all (logZ is already known from the backward); emits the
     normalised posterior band directly (post = f_M * b_M * alpha) instead
-    of storing forward values."""
+    of storing forward values.
+
+    With the gap-chain transition pattern (_gap_chain_consts) gap states
+    are carried as f'[t] = f[t] / (gc_t T[0][t]), collapsing each gap mix
+    to one fused multiply-add; the match state (the only one read outside)
+    stays unscaled."""
     T = st[0]
+    ch = _gap_chain_consts(st, gc)
 
     def kernel(
         em_ref, valid_ref, s1_ref, s2_ref, bm_ref, bls_ref, logZ_ref,
@@ -873,9 +960,11 @@ def _make_fwd_kernel_pre_post(st, gc):
         def _init():
             zero = jnp.zeros_like(f1_refs[0][:, :])
             row0 = jax.lax.broadcasted_iota(jnp.int32, zero.shape, 0) == 0
-            init = jnp.where(row0, 0.2, 0.0)
+            # Uniform start distribution baked in (check_uniform_pi at
+            # entry); scaled gap states store pi / k[t].
             for s in range(_NSTATE):
-                f1_refs[s][:, :] = init
+                pi_s = 0.2 if (ch is None or s == 0) else 0.2 / ch.k[s - 1]
+                f1_refs[s][:, :] = jnp.where(row0, pi_s, 0.0)
                 f2_refs[s][:, :] = zero
             ls_ref[:, :] = jnp.zeros_like(ls_ref)
             cprev_ref[:, :] = jnp.ones_like(cprev_ref)
@@ -897,6 +986,17 @@ def _make_fwd_kernel_pre_post(st, gc):
                 acc = term if acc is None else acc + term
             return acc
 
+        def mix_match(vals):
+            """Match mix; scaled gap states carry their k[t] factor in the
+            coefficient."""
+            if ch is None:
+                m = mix(vals, 0)
+                return m if m is not None else zero_arr
+            acc = T[0][0] * vals[0]
+            for s in range(1, _NSTATE):
+                acc = acc + ch.mcoef[s - 1] * vals[s]
+            return acc
+
         for kb in range(STEP_BLOCK):
             # em is premasked by valid, so the match state needs no
             # separate valid multiply.
@@ -905,12 +1005,15 @@ def _make_fwd_kernel_pre_post(st, gc):
             s1 = s1_ref[kb]
             s2 = s2_ref[kb]
 
-            mix_m = mix(f2, 0)
-            mix_m = mix_m if mix_m is not None else zero_arr
+            mix_m = mix_match(f2)
             if _fwd_divide_step(kb):
                 mix_m = mix_m / cprev
-            mix_g = [mix(f1, t, gc[t - 1]) for t in range(1, _NSTATE)]
-            mix_g = [m if m is not None else zero_arr for m in mix_g]
+            if ch is not None:
+                mix_g = [f1[0] + ch.c[t - 1] * f1[t]
+                         for t in range(1, _NSTATE)]
+            else:
+                mix_g = [mix(f1, t, gc[t - 1]) for t in range(1, _NSTATE)]
+                mix_g = [m if m is not None else zero_arr for m in mix_g]
 
             new = [None] * _NSTATE
             new[0] = e_match * _roll_shift(mix_m, s2 == 2, s2 == 0)
@@ -1003,10 +1106,15 @@ def _posteriors_pre(st, gc, batch: DeviceBatch):
     rev2 = pl.BlockSpec((K, 1, B), lambda i: (G - 1 - i, 0, 0),
                         memory_space=pltpu.VMEM)
 
-    em_pad2 = jnp.pad(ematch, [(0, 2), (0, 0), (0, 0)])
     s1_p = jnp.pad(s1, [(0, 2), (0, 0), (0, 0)])
     s2_p = jnp.pad(s2, [(0, 2), (0, 0), (0, 0)])
 
+    # The backward needs e_match at d+2: it reads the ALIGNED em stream and
+    # keeps a two-step delay line in scratch, avoiding a shifted full-size
+    # copy of the emission array on the host side.
+    bwd_scratch = scratch + [
+        pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32)
+    ]
     bm, bls2, zrow = pl.pallas_call(
         _make_bwd_kernel_pre_first(st, gc),
         grid=(G,),
@@ -1019,13 +1127,13 @@ def _posteriors_pre(st, gc, batch: DeviceBatch):
             jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
             jax.ShapeDtypeStruct((1, 1, B), jnp.float32),
         ],
-        scratch_shapes=scratch,
+        scratch_shapes=bwd_scratch,
         interpret=_use_interpret(),
         **({"compiler_params": _compiler_params()}
            if _compiler_params() else {}),
     )(
         valid,
-        em_pad2[2 : D1K + 2],  # e_match at d+2
+        ematch,
         s1_p[1 : D1K + 1], s2_p[2 : D1K + 2],
         fink, find,
     )
@@ -1099,8 +1207,14 @@ def _make_fwd_kernel_pre_multi(st, gc):
     """Specialised forward with in-stream start injections: each problem's
     local d = 0 seeds the start distribution at band row 0 (spacer steps
     have zeroed the frontier, so the recurrence contributes nothing there).
-    No first-step special case: the scratch frontier starts at zero."""
+    No first-step special case: the scratch frontier starts at zero.
+
+    With the gap-chain pattern (_gap_chain_consts) gap states are carried
+    scaled (one fused multiply-add per gap mix) and the start injection is
+    a select overwrite (the accumulator is provably zero at seed cells).
+    em is premasked by valid in the host wrapper."""
     T = st[0]
+    ch = _gap_chain_consts(st, gc)
 
     def kernel(
         em_ref, valid_ref, s1_ref, s2_ref, fink_ref, start_ref,
@@ -1143,31 +1257,65 @@ def _make_fwd_kernel_pre_multi(st, gc):
             s1 = s1_ref[kb]
             s2 = s2_ref[kb]
 
-            mix_m = mix(f2, 0)
-            mix_m = mix_m if mix_m is not None else zero_arr
-            if _fwd_divide_step(kb):
-                mix_m = mix_m / cprev
-            mix_g = [mix(f1, t, gc[t - 1]) for t in range(1, _NSTATE)]
-            mix_g = [m if m is not None else zero_arr for m in mix_g]
-
             kidx = jax.lax.broadcasted_iota(jnp.int32, zero_arr.shape, 0)
-            inj = jnp.where(
-                (kidx == 0) & (start_ref[kb] != 0), 0.2, 0.0
-            )
-
             new = [None] * _NSTATE
-            new[0] = (e_match * _roll_shift(mix_m, s2 == 2, s2 == 0)
-                      * valid + inj)
-            for s in (1, 3):
-                new[s] = _roll_shift(
-                    mix_g[s - 1], s1 == 1, False) * valid + inj
-            for s in (2, 4):
-                new[s] = _roll_shift(
-                    mix_g[s - 1], False, s1 == 0) * valid + inj
+            if ch is not None:
+                mix_m = T[0][0] * f2[0]
+                for s in range(1, _NSTATE):
+                    mix_m = mix_m + ch.mcoef[s - 1] * f2[s]
+                if _fwd_divide_step(kb):
+                    mix_m = mix_m / cprev
+                mix_g = [f1[0] + ch.c[t - 1] * f1[t]
+                         for t in range(1, _NSTATE)]
+
+                seed = (kidx == 0) & (start_ref[kb] != 0)
+                # em is premasked by valid; the seed cell is overwritten
+                # (accumulators are zero there: spacers cleared the
+                # frontier).  Scaled gap states seed pi / k[t].
+                new[0] = jnp.where(
+                    seed, 0.2,
+                    e_match * _roll_shift(mix_m, s2 == 2, s2 == 0),
+                )
+                for s in (1, 3):
+                    new[s] = jnp.where(
+                        seed, 0.2 / ch.k[s - 1],
+                        _roll_shift(mix_g[s - 1], s1 == 1, False) * valid,
+                    )
+                for s in (2, 4):
+                    new[s] = jnp.where(
+                        seed, 0.2 / ch.k[s - 1],
+                        _roll_shift(mix_g[s - 1], False, s1 == 0) * valid,
+                    )
+            else:
+                mix_m = mix(f2, 0)
+                mix_m = mix_m if mix_m is not None else zero_arr
+                if _fwd_divide_step(kb):
+                    mix_m = mix_m / cprev
+                mix_g = [mix(f1, t, gc[t - 1]) for t in range(1, _NSTATE)]
+                mix_g = [m if m is not None else zero_arr for m in mix_g]
+
+                inj = jnp.where(
+                    (kidx == 0) & (start_ref[kb] != 0), 0.2, 0.0
+                )
+                new[0] = (e_match * _roll_shift(mix_m, s2 == 2, s2 == 0)
+                          * valid + inj)
+                for s in (1, 3):
+                    new[s] = _roll_shift(
+                        mix_g[s - 1], s1 == 1, False) * valid + inj
+                for s in (2, 4):
+                    new[s] = _roll_shift(
+                        mix_g[s - 1], False, s1 == 0) * valid + inj
 
             rescale = _fwd_rescale_step(kb)
             sel = (kidx == fink_ref[kb]).astype(jnp.float32)
-            term = (_sum5(new) * sel).sum(axis=0, keepdims=True)
+            if ch is not None:
+                # Terminal likelihood weights scaled gap states back.
+                wsum = new[0]
+                for s in range(1, _NSTATE):
+                    wsum = wsum + ch.k[s - 1] * new[s]
+            else:
+                wsum = _sum5(new)
+            term = (wsum * sel).sum(axis=0, keepdims=True)
             if rescale:
                 fmax = _max5(new).max(axis=0, keepdims=True)
                 c = jnp.where(fmax > 0, fmax, 1.0)
@@ -1198,15 +1346,21 @@ def _make_bwd_kernel_pre_multi(st, gc):
     streams inject 1 at every problem's terminal cell, the cumulative
     backward scale resets there (so each problem's scale baseline is 0),
     and the per-step L stream carries the owning problem's
-    log(term) + lsf(final_d) so posteriors normalise per problem."""
+    log(term) + lsf(final_d) so posteriors normalise per problem.
+
+    With the gap-chain pattern (_gap_chain_consts) gap states are carried
+    as b'[t] = b[t] / T[t][0] (one fused multiply-add per gap row) and the
+    terminal injection is a select overwrite against the fink stream (-1
+    off terminal steps; accumulators are provably zero at terminal cells)."""
     T = st[0]
+    ch = _gap_chain_consts(st, gc)
 
     def kernel(
-        fm_ref, lsf_ref, valid_ref, em2_ref, s1n_ref, s2n_ref,
+        fm_ref, lsf_ref, valid_ref, em_ref, s1n_ref, s2n_ref,
         fink_ref, find_ref, L_ref,
         post_ref,
         b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
-        bls_ref, cprev_ref,
+        bls_ref, cprev_ref, eh1_ref, eh2_ref,
     ):
         b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
         b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
@@ -1221,11 +1375,16 @@ def _make_bwd_kernel_pre_multi(st, gc):
                 b2_refs[s][:, :] = zero
             bls_ref[:, :] = jnp.zeros_like(bls_ref)
             cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+            eh1_ref[:, :] = zero
+            eh2_ref[:, :] = zero
 
         b1 = [b1_refs[s][:, :] for s in range(_NSTATE)]
         b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
         bls = bls_ref[:, :]
         cprev = cprev_ref[:, :]
+        # em delay line (see _make_bwd_kernel_pre_first).
+        e1 = eh1_ref[:, :]
+        e2 = eh2_ref[:, :]
 
         blk_base = (pl.num_programs(0) - 1 - i) * K
         for t in range(K):
@@ -1237,31 +1396,43 @@ def _make_bwd_kernel_pre_multi(st, gc):
             s2n = s2n_ref[kb]
 
             q = [None] * _NSTATE
-            q[0] = _roll_shift(em2_ref[kb] * b2[0], s2n == 0, s2n == 2)
+            q[0] = _roll_shift(e2 * b2[0], s2n == 0, s2n == 2)
             if _bwd_divide_step(kb):
                 q[0] = q[0] / cprev
             for s in (1, 3):
                 q[s] = _roll_shift(b1[s], False, s1n == 1)
             for s in (2, 4):
                 q[s] = _roll_shift(b1[s], s1n == 0, False)
+            e2 = e1
+            e1 = em_ref[kb]
 
             kidx = jax.lax.broadcasted_iota(jnp.int32, q[0].shape, 0)
             is_term = find_ref[kb] == d  # [1, B]
-            inj = jnp.where((kidx == fink_ref[kb]) & is_term, 1.0, 0.0)
-
-            zero_arr = jnp.zeros_like(q[0])
             new = [None] * _NSTATE
-            for s in range(_NSTATE):
-                acc = None
-                for u in range(_NSTATE):
-                    v = T[s][u] * (1.0 if u == 0 else gc[u - 1])
-                    if v == 0.0:
-                        continue
-                    term = q[u] * v
-                    acc = term if acc is None else acc + term
-                if acc is None:
-                    acc = zero_arr
-                new[s] = (acc + inj) * valid
+            if ch is not None:
+                # fink is -1 off terminal steps, so it gates by itself.
+                mask = kidx == fink_ref[kb]
+                acc0 = T[0][0] * q[0]
+                for s in range(1, _NSTATE):
+                    acc0 = acc0 + ch.m0[s - 1] * q[s]
+                new[0] = jnp.where(mask, 1.0, acc0) * valid
+                for s in range(1, _NSTATE):
+                    accs = q[0] + ch.cb[s - 1] * q[s]
+                    new[s] = jnp.where(mask, ch.r[s - 1], accs) * valid
+            else:
+                inj = jnp.where((kidx == fink_ref[kb]) & is_term, 1.0, 0.0)
+                zero_arr = jnp.zeros_like(q[0])
+                for s in range(_NSTATE):
+                    acc = None
+                    for u in range(_NSTATE):
+                        v = T[s][u] * (1.0 if u == 0 else gc[u - 1])
+                        if v == 0.0:
+                            continue
+                        term = q[u] * v
+                        acc = term if acc is None else acc + term
+                    if acc is None:
+                        acc = zero_arr
+                    new[s] = (acc + inj) * valid
 
             # Per-problem scale baseline: reset at terminal steps.
             bls = jnp.where(is_term, 0.0, bls)
@@ -1286,6 +1457,8 @@ def _make_bwd_kernel_pre_multi(st, gc):
             b2_refs[s][:, :] = b2[s]
         bls_ref[:, :] = bls
         cprev_ref[:, :] = cprev
+        eh1_ref[:, :] = e1
+        eh2_ref[:, :] = e2
 
     return kernel
 
@@ -1307,7 +1480,9 @@ def _posteriors_pre_multi(st, gc, mdev: MultiDeviceBatch):
 
     xb = _pad_steps(mdev.xb, D1K)
     yb = _pad_steps(mdev.yb, D1K)
-    ematch = _precompute_ematch(st, xb, yb)
+    # Premasked by valid: the match state then needs no in-kernel valid
+    # multiply (the gap-chain fast path relies on this).
+    ematch = _precompute_ematch(st, xb, yb) * valid.astype(jnp.float32)
 
     blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -1354,17 +1529,21 @@ def _posteriors_pre_multi(st, gc, mdev: MultiDeviceBatch):
     rev2 = pl.BlockSpec((K, 1, B), lambda i: (G - 1 - i, 0, 0),
                         memory_space=pltpu.VMEM)
 
-    em_pad2 = jnp.pad(ematch, [(0, 2), (0, 0), (0, 0)])
     s1_p = jnp.pad(s1, [(0, 2), (0, 0), (0, 0)])
     s2_p = jnp.pad(s2, [(0, 2), (0, 0), (0, 0)])
 
+    # The backward reads the ALIGNED em stream and delays it two steps in
+    # scratch instead of consuming a shifted full-size copy.
+    bwd_scratch = scratch + [
+        pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32)
+    ]
     post = pl.pallas_call(
         _make_bwd_kernel_pre_multi(st, gc),
         grid=(G,),
         in_specs=[rev3, rev2, rev3, rev3, rev2, rev2, rev2, rev2, rev2],
         out_specs=[rev3],
         out_shape=[jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32)],
-        scratch_shapes=scratch,
+        scratch_shapes=bwd_scratch,
         interpret=_use_interpret(),
         **({"compiler_params": _compiler_params()}
            if _compiler_params() else {}),
@@ -1372,7 +1551,7 @@ def _posteriors_pre_multi(st, gc, mdev: MultiDeviceBatch):
         fm_out,
         lsf2,
         valid,
-        em_pad2[2 : D1K + 2],
+        ematch,
         s1_p[1 : D1K + 1], s2_p[2 : D1K + 2],
         fink, find,
         L[:, None, :],
