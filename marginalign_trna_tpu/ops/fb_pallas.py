@@ -810,10 +810,10 @@ def _make_bwd_kernel_pre_first(st, gc):
     ch = _gap_chain_consts(st, gc)
 
     def kernel(
-        valid_ref, em_ref, s1n_ref, s2n_ref, fink_ref, find_ref,
+        valid_ref, em_ref, s1_ref, fink_ref, find_ref,
         bm_out_ref, bls_out_ref, zrow_ref,
         b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
-        bls_ref, cprev_ref, eh1_ref, eh2_ref,
+        bls_ref, cprev_ref, eh1_ref, eh2_ref, sh_ref,
     ):
         b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
         b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
@@ -830,16 +830,22 @@ def _make_bwd_kernel_pre_first(st, gc):
             cprev_ref[:, :] = jnp.ones_like(cprev_ref)
             eh1_ref[:, :] = zero
             eh2_ref[:, :] = zero
+            sh_ref[:, :] = jnp.zeros_like(sh_ref)
 
         b1 = [b1_refs[s][:, :] for s in range(_NSTATE)]
         b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
         bls = bls_ref[:, :]
         cprev = cprev_ref[:, :]
-        # em delay line: walking d downward, em(d+1)/em(d+2) were read one
-        # and two steps ago from the aligned em stream — no host-side
-        # shifted copy of the emission array.
+        # Delay lines: walking d downward, em/s1 at d+1 and d+2 were read
+        # one and two steps ago from the ALIGNED streams — no host-side
+        # shifted copies.  s2 is derived (s2(d) = s1(d) + s1(d-1)).
         e1 = eh1_ref[:, :]
         e2 = eh2_ref[:, :]
+        sh1 = sh_ref[0:1, :]
+        sh2 = sh_ref[1:2, :]
+        # fink/find are per-lane constants ([1, B] blocks, not streams).
+        fink = fink_ref[:, :]
+        find = find_ref[:, :]
 
         blk_base = (pl.num_programs(0) - 1 - i) * K
         for t in range(K):
@@ -847,8 +853,8 @@ def _make_bwd_kernel_pre_first(st, gc):
             d = blk_base + kb
 
             valid = valid_ref[kb].astype(jnp.float32)
-            s1n = s1n_ref[kb]
-            s2n = s2n_ref[kb]
+            s1n = sh1
+            s2n = sh2 + sh1
 
             q = [None] * _NSTATE
             q[0] = _roll_shift(e2 * b2[0], s2n == 0, s2n == 2)
@@ -860,13 +866,13 @@ def _make_bwd_kernel_pre_first(st, gc):
                 q[s] = _roll_shift(b1[s], s1n == 0, False)
             e2 = e1
             e1 = em_ref[kb]
+            sh2 = sh1
+            sh1 = s1_ref[kb]
 
             kidx = jax.lax.broadcasted_iota(jnp.int32, q[0].shape, 0)
             new = [None] * _NSTATE
             if ch is not None:
-                sel_k = jnp.where(
-                    find_ref[kb] == d, fink_ref[kb], -1
-                )  # [1, B]
+                sel_k = jnp.where(find == d, fink, -1)  # [1, B]
                 mask = kidx == sel_k
                 acc0 = T[0][0] * q[0]
                 for s in range(1, _NSTATE):
@@ -877,7 +883,7 @@ def _make_bwd_kernel_pre_first(st, gc):
                     new[s] = jnp.where(mask, ch.r[s - 1], accs) * valid
             else:
                 inj = jnp.where(
-                    (kidx == fink_ref[kb]) & (d == find_ref[kb]), 1.0, 0.0
+                    (kidx == fink) & (d == find), 1.0, 0.0
                 )
                 zero_arr = jnp.zeros_like(q[0])
                 for s in range(_NSTATE):
@@ -929,6 +935,8 @@ def _make_bwd_kernel_pre_first(st, gc):
         cprev_ref[:, :] = cprev
         eh1_ref[:, :] = e1
         eh2_ref[:, :] = e2
+        sh_ref[0:1, :] = sh1
+        sh_ref[1:2, :] = sh2
 
     return kernel
 
@@ -947,10 +955,10 @@ def _make_fwd_kernel_pre_post(st, gc):
     ch = _gap_chain_consts(st, gc)
 
     def kernel(
-        em_ref, valid_ref, s1_ref, s2_ref, bm_ref, bls_ref, logZ_ref,
+        em_ref, valid_ref, s1_ref, bm_ref, bls_ref, logZ_ref,
         post_ref,
         f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
-        ls_ref, cprev_ref,
+        ls_ref, cprev_ref, sh_ref,
     ):
         f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
         f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
@@ -968,6 +976,7 @@ def _make_fwd_kernel_pre_post(st, gc):
                 f2_refs[s][:, :] = zero
             ls_ref[:, :] = jnp.zeros_like(ls_ref)
             cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+            sh_ref[:, :] = jnp.zeros_like(sh_ref)
 
         f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
         f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
@@ -975,6 +984,9 @@ def _make_fwd_kernel_pre_post(st, gc):
         cprev = cprev_ref[:, :]
         zero_arr = jnp.zeros_like(f1[0])
         logZ = logZ_ref[:, :]
+        # s2 is derived: s2(d) = s1(d) + s1(d-1), with s1(d-1) carried in
+        # a one-step delay (no s2 stream).
+        sprev = sh_ref[:, :]
 
         def mix(vals, t, coeff=1.0):
             acc = None
@@ -1003,7 +1015,8 @@ def _make_fwd_kernel_pre_post(st, gc):
             e_match = em_ref[kb]
             valid = valid_ref[kb].astype(jnp.float32)
             s1 = s1_ref[kb]
-            s2 = s2_ref[kb]
+            s2 = s1 + sprev
+            sprev = s1
 
             mix_m = mix_match(f2)
             if _fwd_divide_step(kb):
@@ -1059,6 +1072,7 @@ def _make_fwd_kernel_pre_post(st, gc):
             f2_refs[s][:, :] = f2[s]
         ls_ref[:, :] = ls
         cprev_ref[:, :] = cprev
+        sh_ref[:, :] = sprev
 
     return kernel
 
@@ -1079,13 +1093,10 @@ def _posteriors_pre(st, gc, batch: DeviceBatch):
     yb = _pad_steps(batch.yb, D1K)
     valid = _pad_steps(batch.valid.astype(jnp.int8), D1K)
     s1 = _pad_steps(batch.s1.astype(jnp.int32), D1K)[:, None, :]
-    s2 = _pad_steps(batch.s2.astype(jnp.int32), D1K)[:, None, :]
-    fink = jnp.broadcast_to(
-        batch.final_k.astype(jnp.int32)[None, None, :], (D1K, 1, B)
-    )
-    find = jnp.broadcast_to(
-        batch.final_d.astype(jnp.int32)[None, None, :], (D1K, 1, B)
-    )
+    # Per-lane constants, passed as whole [1, B] blocks (not broadcast
+    # streams): fink/find; s2 is derived in-kernel from the s1 stream.
+    fink = batch.final_k.astype(jnp.int32)[None, :]
+    find = batch.final_d.astype(jnp.int32)[None, :]
 
     # Premasked by valid: the match state then needs no in-kernel valid
     # multiply in the forward (gap states still do — their rolled mixes can
@@ -1096,6 +1107,7 @@ def _posteriors_pre(st, gc, batch: DeviceBatch):
                         memory_space=pltpu.VMEM)
     blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
     scratch = (
         [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
         + [pltpu.VMEM((1, B), jnp.float32), pltpu.VMEM((1, B), jnp.float32)]
@@ -1106,19 +1118,17 @@ def _posteriors_pre(st, gc, batch: DeviceBatch):
     rev2 = pl.BlockSpec((K, 1, B), lambda i: (G - 1 - i, 0, 0),
                         memory_space=pltpu.VMEM)
 
-    s1_p = jnp.pad(s1, [(0, 2), (0, 0), (0, 0)])
-    s2_p = jnp.pad(s2, [(0, 2), (0, 0), (0, 0)])
-
-    # The backward needs e_match at d+2: it reads the ALIGNED em stream and
-    # keeps a two-step delay line in scratch, avoiding a shifted full-size
-    # copy of the emission array on the host side.
+    # The backward needs e_match and s1 at d+1/d+2: it reads the ALIGNED
+    # streams and keeps two-step delay lines in scratch, avoiding shifted
+    # full-size copies on the host side.
     bwd_scratch = scratch + [
-        pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32)
+        pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32),
+        pltpu.VMEM((2, B), jnp.int32),
     ]
     bm, bls2, zrow = pl.pallas_call(
         _make_bwd_kernel_pre_first(st, gc),
         grid=(G,),
-        in_specs=[rev3, rev3, rev2, rev2, rev2, rev2],
+        in_specs=[rev3, rev3, rev2, full, full],
         out_specs=[rev3, rev2,
                    pl.BlockSpec((1, 1, B), lambda i: (0, 0, 0),
                                 memory_space=pltpu.VMEM)],
@@ -1134,7 +1144,7 @@ def _posteriors_pre(st, gc, batch: DeviceBatch):
     )(
         valid,
         ematch,
-        s1_p[1 : D1K + 1], s2_p[2 : D1K + 2],
+        s1,
         fink, find,
     )
 
@@ -1144,18 +1154,18 @@ def _posteriors_pre(st, gc, batch: DeviceBatch):
         jnp.log(jnp.maximum(zrow[0, 0, :], 1e-30)) + bls2[0, 0, :]
     )
 
+    fwd_scratch = scratch + [pltpu.VMEM((1, B), jnp.int32)]
     post = pl.pallas_call(
         _make_fwd_kernel_pre_post(st, gc),
         grid=(G,),
-        in_specs=[blk3, blk3, blk2, blk2, blk3, blk2,
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[blk3, blk3, blk2, blk3, blk2, full],
         out_specs=[blk3],
         out_shape=[jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32)],
-        scratch_shapes=scratch,
+        scratch_shapes=fwd_scratch,
         interpret=_use_interpret(),
         **({"compiler_params": _compiler_params()}
            if _compiler_params() else {}),
-    )(ematch, valid, s1, s2, bm, bls2, logZ[None, :])[0]
+    )(ematch, valid, s1, bm, bls2, logZ[None, :])[0]
     return logZ, post[:D1]
 
 
@@ -1217,10 +1227,10 @@ def _make_fwd_kernel_pre_multi(st, gc):
     ch = _gap_chain_consts(st, gc)
 
     def kernel(
-        em_ref, valid_ref, s1_ref, s2_ref, fink_ref, start_ref,
+        em_ref, valid_ref, s1_ref, fink_ref, start_ref,
         fm_out_ref, lsf_ref, term_ref,
         f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
-        ls_ref, cprev_ref,
+        ls_ref, cprev_ref, sh_ref,
     ):
         f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
         f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
@@ -1234,6 +1244,7 @@ def _make_fwd_kernel_pre_multi(st, gc):
                 f2_refs[s][:, :] = zero
             ls_ref[:, :] = jnp.zeros_like(ls_ref)
             cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+            sh_ref[:, :] = jnp.zeros_like(sh_ref)
 
         f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
         f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
@@ -1251,11 +1262,17 @@ def _make_fwd_kernel_pre_multi(st, gc):
                 acc = term if acc is None else acc + term
             return acc
 
+        # s2 is derived: s2(d) = s1(d) + s1(d-1) (safe at problem seams:
+        # wherever derived and streamed s2 could differ, the d-2 frontier
+        # is all-zero, so the roll choice is irrelevant).
+        sprev = sh_ref[:, :]
+
         for kb in range(STEP_BLOCK):
             e_match = em_ref[kb]
             valid = valid_ref[kb].astype(jnp.float32)
             s1 = s1_ref[kb]
-            s2 = s2_ref[kb]
+            s2 = s1 + sprev
+            sprev = s1
 
             kidx = jax.lax.broadcasted_iota(jnp.int32, zero_arr.shape, 0)
             new = [None] * _NSTATE
@@ -1337,6 +1354,7 @@ def _make_fwd_kernel_pre_multi(st, gc):
             f2_refs[s][:, :] = f2[s]
         ls_ref[:, :] = ls
         cprev_ref[:, :] = cprev
+        sh_ref[:, :] = sprev
 
     return kernel
 
@@ -1356,11 +1374,11 @@ def _make_bwd_kernel_pre_multi(st, gc):
     ch = _gap_chain_consts(st, gc)
 
     def kernel(
-        fm_ref, lsf_ref, valid_ref, em_ref, s1n_ref, s2n_ref,
+        fm_ref, lsf_ref, valid_ref, em_ref, s1_ref,
         fink_ref, find_ref, L_ref,
         post_ref,
         b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
-        bls_ref, cprev_ref, eh1_ref, eh2_ref,
+        bls_ref, cprev_ref, eh1_ref, eh2_ref, sh_ref,
     ):
         b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
         b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
@@ -1377,14 +1395,17 @@ def _make_bwd_kernel_pre_multi(st, gc):
             cprev_ref[:, :] = jnp.ones_like(cprev_ref)
             eh1_ref[:, :] = zero
             eh2_ref[:, :] = zero
+            sh_ref[:, :] = jnp.zeros_like(sh_ref)
 
         b1 = [b1_refs[s][:, :] for s in range(_NSTATE)]
         b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
         bls = bls_ref[:, :]
         cprev = cprev_ref[:, :]
-        # em delay line (see _make_bwd_kernel_pre_first).
+        # em/s1 delay lines (see _make_bwd_kernel_pre_first); s2 derived.
         e1 = eh1_ref[:, :]
         e2 = eh2_ref[:, :]
+        sh1 = sh_ref[0:1, :]
+        sh2 = sh_ref[1:2, :]
 
         blk_base = (pl.num_programs(0) - 1 - i) * K
         for t in range(K):
@@ -1392,8 +1413,8 @@ def _make_bwd_kernel_pre_multi(st, gc):
             d = blk_base + kb
 
             valid = valid_ref[kb].astype(jnp.float32)
-            s1n = s1n_ref[kb]
-            s2n = s2n_ref[kb]
+            s1n = sh1
+            s2n = sh2 + sh1
 
             q = [None] * _NSTATE
             q[0] = _roll_shift(e2 * b2[0], s2n == 0, s2n == 2)
@@ -1405,6 +1426,8 @@ def _make_bwd_kernel_pre_multi(st, gc):
                 q[s] = _roll_shift(b1[s], s1n == 0, False)
             e2 = e1
             e1 = em_ref[kb]
+            sh2 = sh1
+            sh1 = s1_ref[kb]
 
             kidx = jax.lax.broadcasted_iota(jnp.int32, q[0].shape, 0)
             is_term = find_ref[kb] == d  # [1, B]
@@ -1459,6 +1482,8 @@ def _make_bwd_kernel_pre_multi(st, gc):
         cprev_ref[:, :] = cprev
         eh1_ref[:, :] = e1
         eh2_ref[:, :] = e2
+        sh_ref[0:1, :] = sh1
+        sh_ref[1:2, :] = sh2
 
     return kernel
 
@@ -1471,7 +1496,6 @@ def _posteriors_pre_multi(st, gc, mdev: MultiDeviceBatch):
 
     valid = _pad_steps(mdev.valid, D1K)
     s1 = _pad_steps(mdev.s1, D1K)[:, None, :]
-    s2 = _pad_steps(mdev.s2, D1K)[:, None, :]
     start = _pad_steps(mdev.start, D1K)[:, None, :]
     fink = jnp.pad(mdev.fink, [(0, D1K - D1), (0, 0)],
                    constant_values=-1)[:, None, :]
@@ -1493,21 +1517,22 @@ def _posteriors_pre_multi(st, gc, mdev: MultiDeviceBatch):
         + [pltpu.VMEM((1, B), jnp.float32), pltpu.VMEM((1, B), jnp.float32)]
     )
 
+    fwd_scratch = scratch + [pltpu.VMEM((1, B), jnp.int32)]
     fm_out, lsf2, term2 = pl.pallas_call(
         _make_fwd_kernel_pre_multi(st, gc),
         grid=(G,),
-        in_specs=[blk3, blk3, blk2, blk2, blk2, blk2],
+        in_specs=[blk3, blk3, blk2, blk2, blk2],
         out_specs=[blk3, blk2, blk2],
         out_shape=[
             jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
             jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
             jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
         ],
-        scratch_shapes=scratch,
+        scratch_shapes=fwd_scratch,
         interpret=_use_interpret(),
         **({"compiler_params": _compiler_params()}
            if _compiler_params() else {}),
-    )(ematch, valid, s1, s2, fink, start)
+    )(ematch, valid, s1, fink, start)
 
     lsf = lsf2[:, 0, :]   # [D1K, B]
     term = term2[:, 0, :]
@@ -1529,18 +1554,16 @@ def _posteriors_pre_multi(st, gc, mdev: MultiDeviceBatch):
     rev2 = pl.BlockSpec((K, 1, B), lambda i: (G - 1 - i, 0, 0),
                         memory_space=pltpu.VMEM)
 
-    s1_p = jnp.pad(s1, [(0, 2), (0, 0), (0, 0)])
-    s2_p = jnp.pad(s2, [(0, 2), (0, 0), (0, 0)])
-
-    # The backward reads the ALIGNED em stream and delays it two steps in
-    # scratch instead of consuming a shifted full-size copy.
+    # The backward reads the ALIGNED em/s1 streams and delays them two
+    # steps in scratch instead of consuming shifted full-size copies.
     bwd_scratch = scratch + [
-        pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32)
+        pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32),
+        pltpu.VMEM((2, B), jnp.int32),
     ]
     post = pl.pallas_call(
         _make_bwd_kernel_pre_multi(st, gc),
         grid=(G,),
-        in_specs=[rev3, rev2, rev3, rev3, rev2, rev2, rev2, rev2, rev2],
+        in_specs=[rev3, rev2, rev3, rev3, rev2, rev2, rev2, rev2],
         out_specs=[rev3],
         out_shape=[jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32)],
         scratch_shapes=bwd_scratch,
@@ -1552,7 +1575,7 @@ def _posteriors_pre_multi(st, gc, mdev: MultiDeviceBatch):
         lsf2,
         valid,
         ematch,
-        s1_p[1 : D1K + 1], s2_p[2 : D1K + 2],
+        s1,
         fink, find,
         L[:, None, :],
     )[0]
