@@ -120,3 +120,34 @@ def test_nonuniform_pi_rejected(rng):
                counts_pallas):
         with pytest.raises(NotImplementedError):
             fn(bad, dev)
+
+
+def test_specialised_generic_path_non_chain_model(rng):
+    """A model where gap states exchange mass with each other falls off the
+    gap-chain fast path (_gap_chain_consts returns None); the specialised
+    kernels' generic branch must still match the dynamic engine."""
+    import jax.numpy as jnp
+
+    from marginalign_trna_tpu.ops.fb_pallas import (
+        _flat_gap_consts, _gap_chain_consts, posteriors_pallas_specialised,
+        static_tables,
+    )
+
+    hmm, batch = _mixed_batch(rng)
+    tables = make_tables(hmm)
+    # Move some mass between gap states 1 and 2 (renormalise the rows).
+    T = np.asarray(tables.T).copy()
+    for s, t in ((1, 2), (2, 1)):
+        T[s, t] = 0.05
+    T = T / T.sum(axis=1, keepdims=True)
+    tables = tables._replace(T=jnp.asarray(T))
+    st = static_tables(tables)
+    assert _flat_gap_consts(st) is not None
+    assert _gap_chain_consts(st, _flat_gap_consts(st)) is None
+
+    dev = device_batch(batch)
+    logZ_d, post_d = posteriors_pallas(tables, dev)
+    logZ_s, post_s = posteriors_pallas_specialised(tables, dev)
+    assert np.allclose(np.asarray(logZ_s)[:3], np.asarray(logZ_d)[:3],
+                       rtol=1e-5, atol=1e-4)
+    assert np.allclose(np.asarray(post_s), np.asarray(post_d), atol=1e-5)
