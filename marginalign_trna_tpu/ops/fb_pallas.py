@@ -1285,7 +1285,7 @@ def _make_fwd_kernel_pre_multi(st, gc):
                 mix_g = [f1[0] + ch.c[t - 1] * f1[t]
                          for t in range(1, _NSTATE)]
 
-                seed = (kidx == 0) & (start_ref[kb] != 0)
+                seed = (kidx == 0) & (start_ref[kb].astype(jnp.float32) != 0.0)
                 # em is premasked by valid; the seed cell is overwritten
                 # (accumulators are zero there: spacers cleared the
                 # frontier).  Scaled gap states seed pi / k[t].
@@ -1312,7 +1312,7 @@ def _make_fwd_kernel_pre_multi(st, gc):
                 mix_g = [m if m is not None else zero_arr for m in mix_g]
 
                 inj = jnp.where(
-                    (kidx == 0) & (start_ref[kb] != 0), 0.2, 0.0
+                    (kidx == 0) & (start_ref[kb].astype(jnp.float32) != 0.0), 0.2, 0.0
                 )
                 new[0] = (e_match * _roll_shift(mix_m, s2 == 2, s2 == 0)
                           * valid + inj)

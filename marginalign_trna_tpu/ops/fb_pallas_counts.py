@@ -41,14 +41,16 @@ _NSTATE = 5
 
 def _fwd_all_impl(
     axis,
-    xb_ref, yb_ref, valid_ref, s1_ref, s2_ref, fink_ref,
+    xb_ref, yb_ref, valid_ref, s1_ref, fink_ref,
     T_ref, Em_ref, Eg_ref,
     f_out_ref, lsf_ref, term_ref,
     f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
-    ls_ref, cprev_ref,
+    ls_ref, cprev_ref, sh_ref,
 ):
     """axis = grid axis that walks diagonal blocks (1 when a leading trials
-    axis streams one model table per trial; scratch re-inits per trial)."""
+    axis streams one model table per trial; scratch re-inits per trial).
+    fink is a per-lane constant ([1, B] whole block); s2 is derived from
+    the s1 stream via a one-step delay (s2(d) = s1(d) + s1(d-1))."""
     T = _TableView.from_ref(T_ref)
     Em = _TableView.from_ref(Em_ref)
     Eg = _TableView.from_ref(Eg_ref)
@@ -67,19 +69,23 @@ def _fwd_all_impl(
             f2_refs[s][:, :] = zero
         ls_ref[:, :] = jnp.zeros_like(ls_ref)
         cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+        sh_ref[:, :] = jnp.zeros_like(sh_ref)
 
     f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
     f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
     ls = ls_ref[:, :]
     cprev = cprev_ref[:, :]
     zero_arr = jnp.zeros_like(f1[0])
+    sprev = sh_ref[:, :]
+    fink = fink_ref[:, :]
 
     for kb in range(STEP_BLOCK):
         xb = xb_ref[kb].astype(jnp.int32)
         yb = yb_ref[kb].astype(jnp.int32)
         valid = valid_ref[kb].astype(jnp.float32)
         s1 = s1_ref[kb]
-        s2 = s2_ref[kb]
+        s2 = s1 + sprev
+        sprev = s1
 
         e_match, e_gap = _emissions(Em, Eg, xb, yb)
 
@@ -99,7 +105,7 @@ def _fwd_all_impl(
 
         rescale = _fwd_rescale_step(kb)
         kidx = jax.lax.broadcasted_iota(jnp.int32, new[0].shape, 0)
-        sel = (kidx == fink_ref[kb]).astype(jnp.float32)
+        sel = (kidx == fink).astype(jnp.float32)
         term = (_sum5(new) * sel).sum(axis=0, keepdims=True)
         if rescale:
             fmax = _max5(new).max(axis=0, keepdims=True)
@@ -140,6 +146,7 @@ def _fwd_all_impl(
         f2_refs[s][:, :] = f2[s]
     ls_ref[:, :] = ls
     cprev_ref[:, :] = cprev
+    sh_ref[:, :] = sprev
 
 
 _fwd_all_kernel = functools.partial(_fwd_all_impl, 0)
@@ -148,18 +155,25 @@ _fwd_all_kernel = functools.partial(_fwd_all_impl, 0)
 def _bwd_counts_impl(
     axis,
     f_ref, lsf_ref, valid_ref,
-    xb_ref, yb_ref, xb1_ref, yb1_ref, xb2_ref, yb2_ref, s1n_ref, s2n_ref,
+    xb_ref, yb_ref, s1_ref,
     fink_ref, find_ref,
     T_ref, Em_ref, Eg_ref, logZ_ref,
     post_ref, tcp_ref, egp_ref,
     b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
     bls_ref, cprev_ref, tca_ref, ega_ref,
+    em_h1_ref, em_h2_ref, eg_h1_ref, eg_h2_ref, eg_h3_ref, eg_h4_ref,
+    sh_ref,
 ):
+    """Walking d downward: emissions at d+1/d+2 and s1 at d+1/d+2 were
+    computed/read one and two steps ago and carried in scratch delay lines
+    — no shifted xb/yb/s1/s2 stream copies.  fink/find are per-lane
+    constants ([1, B] whole blocks)."""
     T = _TableView.from_ref(T_ref)
     Em = _TableView.from_ref(Em_ref)
     Eg = _TableView.from_ref(Eg_ref)
     b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
     b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
+    eg_h_refs = (eg_h1_ref, eg_h2_ref, eg_h3_ref, eg_h4_ref)
     i = pl.program_id(axis)
     K = STEP_BLOCK
 
@@ -173,6 +187,11 @@ def _bwd_counts_impl(
         cprev_ref[:, :] = jnp.ones_like(cprev_ref)
         tca_ref[:, :] = jnp.zeros_like(tca_ref)
         ega_ref[:, :] = jnp.zeros_like(ega_ref)
+        em_h1_ref[:, :] = zero
+        em_h2_ref[:, :] = zero
+        for r in eg_h_refs:
+            r[:, :] = zero
+        sh_ref[:, :] = jnp.zeros_like(sh_ref)
 
     b1 = [b1_refs[s][:, :] for s in range(_NSTATE)]
     b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
@@ -181,6 +200,13 @@ def _bwd_counts_impl(
     logZ = logZ_ref[0] if len(logZ_ref.shape) == 3 else logZ_ref[:, :]
     tca = tca_ref[:, :]   # [32, B] rows s*5+t
     ega = ega_ref[:, :]   # [32, B] rows (s-1)*5+code
+    em_h1 = em_h1_ref[:, :]
+    em_h2 = em_h2_ref[:, :]
+    eg_h = [None] + [r[:, :] for r in eg_h_refs]  # e_gap at d+1
+    sh1 = sh_ref[0:1, :]
+    sh2 = sh_ref[1:2, :]
+    fink = fink_ref[:, :]
+    find = find_ref[:, :]
 
     blk_base = (pl.num_programs(axis) - 1 - i) * K
     for t_step in range(K):
@@ -190,16 +216,12 @@ def _bwd_counts_impl(
         valid = valid_ref[kb].astype(jnp.float32)
         xb = xb_ref[kb].astype(jnp.int32)
         yb = yb_ref[kb].astype(jnp.int32)
-        xb1 = xb1_ref[kb].astype(jnp.int32)
-        yb1 = yb1_ref[kb].astype(jnp.int32)
-        xb2 = xb2_ref[kb].astype(jnp.int32)
-        yb2 = yb2_ref[kb].astype(jnp.int32)
-        s1n = s1n_ref[kb]
-        s2n = s2n_ref[kb]
+        s1n = sh1
+        s2n = sh2 + sh1
         f_d = [f_ref[kb, s] for s in range(_NSTATE)]
 
-        e_match2, _ = _emissions(Em, None, xb2, yb2)
-        _, e_gap1 = _emissions(None, Eg, xb1, yb1)
+        e_match2 = em_h2
+        e_gap1 = eg_h
 
         q = [None] * _NSTATE
         q[0] = _roll_shift(e_match2 * b2[0], s2n == 0, s2n == 2)
@@ -210,9 +232,22 @@ def _bwd_counts_impl(
         for s in (2, 4):
             q[s] = _roll_shift(e_gap1[s] * b1[s], s1n == 0, False)
 
+        # Shift the delay lines: emissions at d, s1 at d.
+        e_match_d, e_gap_d = _emissions(Em, Eg, xb, yb)
+        em_h2 = em_h1
+        em_h1 = e_match_d
+        zero_like = jnp.zeros_like(q[0])
+        eg_h = [None] + [
+            e_gap_d[s] if not isinstance(e_gap_d[s], float)
+            else jnp.full_like(zero_like, e_gap_d[s])
+            for s in range(1, _NSTATE)
+        ]
+        sh2 = sh1
+        sh1 = s1_ref[kb]
+
         kidx = jax.lax.broadcasted_iota(jnp.int32, q[0].shape, 0)
         inj = jnp.where(
-            (kidx == fink_ref[kb]) & (d == find_ref[kb]), 1.0, 0.0
+            (kidx == jnp.where(find == d, fink, -1)), 1.0, 0.0
         )
 
         zero_arr = jnp.zeros_like(q[0])
@@ -274,6 +309,12 @@ def _bwd_counts_impl(
     cprev_ref[:, :] = cprev
     tca_ref[:, :] = tca
     ega_ref[:, :] = ega
+    em_h1_ref[:, :] = em_h1
+    em_h2_ref[:, :] = em_h2
+    for s in range(1, _NSTATE):
+        eg_h_refs[s - 1][:, :] = eg_h[s]
+    sh_ref[0:1, :] = sh1
+    sh_ref[1:2, :] = sh2
 
     @pl.when(i == pl.num_programs(axis) - 1)
     def _emit():
@@ -302,13 +343,8 @@ def _counts_pallas_jit(tables: FbTables, batch: DeviceBatch) -> CountsResult:
     yb = _pad_steps(batch.yb, D1K)
     valid = _pad_steps(batch.valid.astype(jnp.int8), D1K)
     s1 = _pad_steps(batch.s1.astype(jnp.int32), D1K)[:, None, :]
-    s2 = _pad_steps(batch.s2.astype(jnp.int32), D1K)[:, None, :]
-    fink = jnp.broadcast_to(
-        batch.final_k.astype(jnp.int32)[None, None, :], (D1K, 1, B)
-    )
-    find = jnp.broadcast_to(
-        batch.final_d.astype(jnp.int32)[None, None, :], (D1K, 1, B)
-    )
+    fink = batch.final_k.astype(jnp.int32)[None, :]
+    find = batch.final_d.astype(jnp.int32)[None, :]
 
     blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -321,7 +357,7 @@ def _counts_pallas_jit(tables: FbTables, batch: DeviceBatch) -> CountsResult:
     f_all, lsf2, term2 = pl.pallas_call(
         _fwd_all_kernel,
         grid=(G,),
-        in_specs=[blk3, blk3, blk3, blk2, blk2, blk2, full, full, full],
+        in_specs=[blk3, blk3, blk3, blk2, full, full, full, full],
         out_specs=[blk4, blk2, blk2],
         out_shape=[
             jax.ShapeDtypeStruct((D1K, _NSTATE, Wp, B), jnp.float32),
@@ -331,10 +367,11 @@ def _counts_pallas_jit(tables: FbTables, batch: DeviceBatch) -> CountsResult:
         scratch_shapes=(
             [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
             + [pltpu.VMEM((1, B), jnp.float32),
-               pltpu.VMEM((1, B), jnp.float32)]
+               pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((1, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
-    )(xb, yb, valid, s1, s2, fink, tables.T, tables.Ematch, tables.Egap)
+    )(xb, yb, valid, s1, fink, tables.T, tables.Ematch, tables.Egap)
 
     lsf = lsf2[:, 0, :]
     term = term2[:, 0, :]
@@ -343,13 +380,6 @@ def _counts_pallas_jit(tables: FbTables, batch: DeviceBatch) -> CountsResult:
     logZ = (
         jnp.log(jnp.maximum(term[d_idx, b_idx], 1e-30)) + lsf[d_idx, b_idx]
     )
-
-    pad2 = lambda a: jnp.pad(
-        _pad_steps(a, D1K), [(0, 2)] + [(0, 0)] * (a.ndim - 1)
-    )
-    xb_p, yb_p = pad2(batch.xb), pad2(batch.yb)
-    s1_p = pad2(batch.s1.astype(jnp.int32))[:, None, :]
-    s2_p = pad2(batch.s2.astype(jnp.int32))[:, None, :]
 
     rev3 = pl.BlockSpec((K, Wp, B), lambda i: (G - 1 - i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -365,11 +395,9 @@ def _counts_pallas_jit(tables: FbTables, batch: DeviceBatch) -> CountsResult:
         grid=(G,),
         in_specs=[
             rev4, rev2, rev3,
-            rev3, rev3,           # xb, yb at d
-            rev3, rev3,           # at d+1
-            rev3, rev3,           # at d+2
-            rev2, rev2,           # s1(d+1), s2(d+2)
-            rev2, rev2,           # fink, find
+            rev3, rev3,           # xb, yb at d (emissions delayed in-kernel)
+            rev2,                 # s1 at d (s1n/s2n delayed in-kernel)
+            full, full,           # fink, find ([1, B] per-lane constants)
             full, full, full, full,
         ],
         out_specs=[rev3, last_blk, last_blk],
@@ -384,6 +412,8 @@ def _counts_pallas_jit(tables: FbTables, batch: DeviceBatch) -> CountsResult:
                pltpu.VMEM((1, B), jnp.float32),
                pltpu.VMEM((32, B), jnp.float32),
                pltpu.VMEM((32, B), jnp.float32)]
+            + [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(6)]
+            + [pltpu.VMEM((2, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
     )(
@@ -391,9 +421,7 @@ def _counts_pallas_jit(tables: FbTables, batch: DeviceBatch) -> CountsResult:
         lsf2,
         valid,
         xb, yb,
-        xb_p[1 : D1K + 1], yb_p[1 : D1K + 1],
-        xb_p[2 : D1K + 2], yb_p[2 : D1K + 2],
-        s1_p[1 : D1K + 1], s2_p[2 : D1K + 2],
+        s1,
         fink, find,
         tables.T, tables.Ematch, tables.Egap,
         logZ[None, :],
@@ -435,15 +463,17 @@ def match_counts_from_posteriors(
 
 def _fwd_all_multi_impl(
     axis,
-    xb_ref, yb_ref, valid_ref, s1_ref, s2_ref, fink_ref, start_ref,
+    xb_ref, yb_ref, valid_ref, s1_ref, fink_ref, start_ref,
     T_ref, Em_ref, Eg_ref,
     f_out_ref, lsf_ref, term_ref,
     f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
-    ls_ref, cprev_ref,
+    ls_ref, cprev_ref, sh_ref,
 ):
     """All-states forward over multi-problem lanes (dynamic tables): each
     problem's local d = 0 seeds the start distribution in-stream (spacers
-    have zeroed the frontier), exactly as fb_pallas's multi forward."""
+    have zeroed the frontier), exactly as fb_pallas's multi forward.
+    s2 is derived (s2(d) = s1(d) + s1(d-1); safe at problem seams where
+    the d-2 frontier is all-zero)."""
     T = _TableView.from_ref(T_ref)
     Em = _TableView.from_ref(Em_ref)
     Eg = _TableView.from_ref(Eg_ref)
@@ -459,19 +489,22 @@ def _fwd_all_multi_impl(
             f2_refs[s][:, :] = zero
         ls_ref[:, :] = jnp.zeros_like(ls_ref)
         cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+        sh_ref[:, :] = jnp.zeros_like(sh_ref)
 
     f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
     f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
     ls = ls_ref[:, :]
     cprev = cprev_ref[:, :]
     zero_arr = jnp.zeros_like(f1[0])
+    sprev = sh_ref[:, :]
 
     for kb in range(STEP_BLOCK):
         xb = xb_ref[kb].astype(jnp.int32)
         yb = yb_ref[kb].astype(jnp.int32)
         valid = valid_ref[kb].astype(jnp.float32)
         s1 = s1_ref[kb]
-        s2 = s2_ref[kb]
+        s2 = s1 + sprev
+        sprev = s1
 
         e_match, e_gap = _emissions(Em, Eg, xb, yb)
 
@@ -482,7 +515,7 @@ def _fwd_all_multi_impl(
 
         kidx = jax.lax.broadcasted_iota(jnp.int32, zero_arr.shape, 0)
         # Uniform start distribution baked in (check_uniform_pi at entry).
-        inj = jnp.where((kidx == 0) & (start_ref[kb] != 0), 0.2, 0.0)
+        inj = jnp.where((kidx == 0) & (start_ref[kb].astype(jnp.float32) != 0.0), 0.2, 0.0)
 
         new = [None] * _NSTATE
         new[0] = (e_match * _roll_shift(mix_m, s2 == 2, s2 == 0) * valid
@@ -519,6 +552,7 @@ def _fwd_all_multi_impl(
         f2_refs[s][:, :] = f2[s]
     ls_ref[:, :] = ls
     cprev_ref[:, :] = cprev
+    sh_ref[:, :] = sprev
 
 
 _fwd_all_kernel_multi = functools.partial(_fwd_all_multi_impl, 0)
@@ -527,22 +561,27 @@ _fwd_all_kernel_multi = functools.partial(_fwd_all_multi_impl, 0)
 def _bwd_counts_multi_impl(
     axis,
     f_ref, lsf_ref, valid_ref,
-    xb_ref, yb_ref, xb1_ref, yb1_ref, xb2_ref, yb2_ref, s1n_ref, s2n_ref,
+    xb_ref, yb_ref, s1_ref,
     fink_ref, find_ref, start_ref,
     T_ref, Em_ref, Eg_ref, L_ref,
     post_ref, tcp_ref, egp_ref,
     b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
     bls_ref, cprev_ref, tca_ref, ega_ref,
+    em_h1_ref, em_h2_ref, eg_h1_ref, eg_h2_ref, eg_h3_ref, eg_h4_ref,
+    sh_ref,
 ):
     """Counts backward over multi-problem lanes: per-step terminal streams
     inject and reset the cumulative backward scale; the per-step L stream
     (log term + lsf at the owning problem's terminal) normalises gammas per
-    problem; each problem's start step is its no-emission boundary."""
+    problem; each problem's start step is its no-emission boundary.
+    Emissions at d+1/d+2 and s1n/s2n come from scratch delay lines over the
+    ALIGNED xb/yb/s1 streams (no shifted stream copies)."""
     T = _TableView.from_ref(T_ref)
     Em = _TableView.from_ref(Em_ref)
     Eg = _TableView.from_ref(Eg_ref)
     b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
     b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
+    eg_h_refs = (eg_h1_ref, eg_h2_ref, eg_h3_ref, eg_h4_ref)
     i = pl.program_id(axis)
     K = STEP_BLOCK
 
@@ -556,6 +595,11 @@ def _bwd_counts_multi_impl(
         cprev_ref[:, :] = jnp.ones_like(cprev_ref)
         tca_ref[:, :] = jnp.zeros_like(tca_ref)
         ega_ref[:, :] = jnp.zeros_like(ega_ref)
+        em_h1_ref[:, :] = zero
+        em_h2_ref[:, :] = zero
+        for r in eg_h_refs:
+            r[:, :] = zero
+        sh_ref[:, :] = jnp.zeros_like(sh_ref)
 
     b1 = [b1_refs[s][:, :] for s in range(_NSTATE)]
     b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
@@ -563,6 +607,11 @@ def _bwd_counts_multi_impl(
     cprev = cprev_ref[:, :]
     tca = tca_ref[:, :]
     ega = ega_ref[:, :]
+    em_h1 = em_h1_ref[:, :]
+    em_h2 = em_h2_ref[:, :]
+    eg_h = [None] + [r[:, :] for r in eg_h_refs]
+    sh1 = sh_ref[0:1, :]
+    sh2 = sh_ref[1:2, :]
 
     blk_base = (pl.num_programs(axis) - 1 - i) * K
     for t_step in range(K):
@@ -572,16 +621,12 @@ def _bwd_counts_multi_impl(
         valid = valid_ref[kb].astype(jnp.float32)
         xb = xb_ref[kb].astype(jnp.int32)
         yb = yb_ref[kb].astype(jnp.int32)
-        xb1 = xb1_ref[kb].astype(jnp.int32)
-        yb1 = yb1_ref[kb].astype(jnp.int32)
-        xb2 = xb2_ref[kb].astype(jnp.int32)
-        yb2 = yb2_ref[kb].astype(jnp.int32)
-        s1n = s1n_ref[kb]
-        s2n = s2n_ref[kb]
+        s1n = sh1
+        s2n = sh2 + sh1
         f_d = [f_ref[kb, s] for s in range(_NSTATE)]
 
-        e_match2, _ = _emissions(Em, None, xb2, yb2)
-        _, e_gap1 = _emissions(None, Eg, xb1, yb1)
+        e_match2 = em_h2
+        e_gap1 = eg_h
 
         q = [None] * _NSTATE
         q[0] = _roll_shift(e_match2 * b2[0], s2n == 0, s2n == 2)
@@ -591,6 +636,18 @@ def _bwd_counts_multi_impl(
             q[s] = _roll_shift(e_gap1[s] * b1[s], False, s1n == 1)
         for s in (2, 4):
             q[s] = _roll_shift(e_gap1[s] * b1[s], s1n == 0, False)
+
+        e_match_d, e_gap_d = _emissions(Em, Eg, xb, yb)
+        em_h2 = em_h1
+        em_h1 = e_match_d
+        zero_like = jnp.zeros_like(q[0])
+        eg_h = [None] + [
+            e_gap_d[s] if not isinstance(e_gap_d[s], float)
+            else jnp.full_like(zero_like, e_gap_d[s])
+            for s in range(1, _NSTATE)
+        ]
+        sh2 = sh1
+        sh1 = s1_ref[kb]
 
         kidx = jax.lax.broadcasted_iota(jnp.int32, q[0].shape, 0)
         is_term = find_ref[kb] == d
@@ -630,7 +687,7 @@ def _bwd_counts_multi_impl(
         tca = tca + jnp.concatenate(rows, axis=0)
 
         # Each problem's start step is its no-emission boundary.
-        not_boundary = jnp.where(start_ref[kb] != 0, 0.0, 1.0)
+        not_boundary = jnp.where(start_ref[kb].astype(jnp.float32) != 0.0, 0.0, 1.0)
         grows = []
         for s in range(1, _NSTATE):
             gamma_s = f_d[s] * b_out[s] * (alpha0 * not_boundary)
@@ -651,6 +708,12 @@ def _bwd_counts_multi_impl(
     cprev_ref[:, :] = cprev
     tca_ref[:, :] = tca
     ega_ref[:, :] = ega
+    em_h1_ref[:, :] = em_h1
+    em_h2_ref[:, :] = em_h2
+    for s in range(1, _NSTATE):
+        eg_h_refs[s - 1][:, :] = eg_h[s]
+    sh_ref[0:1, :] = sh1
+    sh_ref[1:2, :] = sh2
 
     @pl.when(i == pl.num_programs(axis) - 1)
     def _emit():
@@ -672,7 +735,6 @@ def _counts_pallas_multi_jit(tables: FbTables, mdev) -> CountsResult:
     yb = _pad_steps(mdev.yb, D1K)
     valid = _pad_steps(mdev.valid, D1K)
     s1 = _pad_steps(mdev.s1, D1K)[:, None, :]
-    s2 = _pad_steps(mdev.s2, D1K)[:, None, :]
     start = _pad_steps(mdev.start, D1K)[:, None, :]
     fink = jnp.pad(mdev.fink, [(0, D1K - D1), (0, 0)],
                    constant_values=-1)[:, None, :]
@@ -690,7 +752,7 @@ def _counts_pallas_multi_jit(tables: FbTables, mdev) -> CountsResult:
     f_all, lsf2, term2 = pl.pallas_call(
         _fwd_all_kernel_multi,
         grid=(G,),
-        in_specs=[blk3, blk3, blk3, blk2, blk2, blk2, blk2,
+        in_specs=[blk3, blk3, blk3, blk2, blk2, blk2,
                   full, full, full],
         out_specs=[blk4, blk2, blk2],
         out_shape=[
@@ -701,10 +763,11 @@ def _counts_pallas_multi_jit(tables: FbTables, mdev) -> CountsResult:
         scratch_shapes=(
             [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
             + [pltpu.VMEM((1, B), jnp.float32),
-               pltpu.VMEM((1, B), jnp.float32)]
+               pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((1, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
-    )(xb, yb, valid, s1, s2, fink, start,
+    )(xb, yb, valid, s1, fink, start,
       tables.T, tables.Ematch, tables.Egap)
 
     lsf = lsf2[:, 0, :]
@@ -718,13 +781,6 @@ def _counts_pallas_multi_jit(tables: FbTables, mdev) -> CountsResult:
     p0 = mdev.p_d0
     base = jnp.where(p0 > 0, lsf[jnp.maximum(p0 - 1, 0), pl_], 0.0)
     logZ = logterm[pf, pl_] - base
-
-    pad2 = lambda a: jnp.pad(
-        _pad_steps(a, D1K), [(0, 2)] + [(0, 0)] * (a.ndim - 1)
-    )
-    xb_p, yb_p = pad2(mdev.xb), pad2(mdev.yb)
-    s1_p = pad2(mdev.s1)[:, None, :]
-    s2_p = pad2(mdev.s2)[:, None, :]
 
     rev3 = pl.BlockSpec((K, Wp, B), lambda i: (G - 1 - i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -740,11 +796,9 @@ def _counts_pallas_multi_jit(tables: FbTables, mdev) -> CountsResult:
         grid=(G,),
         in_specs=[
             rev4, rev2, rev3,
-            rev3, rev3,
-            rev3, rev3,
-            rev3, rev3,
-            rev2, rev2,
-            rev2, rev2, rev2,
+            rev3, rev3,           # xb, yb at d (emissions delayed in-kernel)
+            rev2,                 # s1 at d
+            rev2, rev2, rev2,     # fink, find, start streams
             full, full, full,
             rev2,
         ],
@@ -760,6 +814,8 @@ def _counts_pallas_multi_jit(tables: FbTables, mdev) -> CountsResult:
                pltpu.VMEM((1, B), jnp.float32),
                pltpu.VMEM((32, B), jnp.float32),
                pltpu.VMEM((32, B), jnp.float32)]
+            + [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(6)]
+            + [pltpu.VMEM((2, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
     )(
@@ -767,9 +823,7 @@ def _counts_pallas_multi_jit(tables: FbTables, mdev) -> CountsResult:
         lsf2,
         valid,
         xb, yb,
-        xb_p[1 : D1K + 1], yb_p[1 : D1K + 1],
-        xb_p[2 : D1K + 2], yb_p[2 : D1K + 2],
-        s1_p[1 : D1K + 1], s2_p[2 : D1K + 2],
+        s1,
         fink, find, start,
         tables.T, tables.Ematch, tables.Egap,
         L[:, None, :],
@@ -830,19 +884,17 @@ def _counts_pallas_trials_jit(
     yb = _pad_steps(batch.yb, D1K)
     valid = _pad_steps(batch.valid.astype(jnp.int8), D1K)
     s1 = _pad_steps(batch.s1.astype(jnp.int32), D1K)[:, None, :]
-    s2 = _pad_steps(batch.s2.astype(jnp.int32), D1K)[:, None, :]
-    fink = jnp.broadcast_to(
-        batch.final_k.astype(jnp.int32)[None, None, :], (D1K, 1, B)
-    )
-    find = jnp.broadcast_to(
-        batch.final_d.astype(jnp.int32)[None, None, :], (D1K, 1, B)
-    )
+    fink = batch.final_k.astype(jnp.int32)[None, :]
+    find = batch.final_d.astype(jnp.int32)[None, :]
 
     # Shared streams: same diagonal block for every trial.
     blk3 = pl.BlockSpec((K, Wp, B), lambda t, i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     blk2 = pl.BlockSpec((K, 1, B), lambda t, i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
+    # Per-lane constants ([1, B] whole blocks, same for every trial).
+    lane_const = pl.BlockSpec((1, B), lambda t, i: (0, 0),
+                              memory_space=pltpu.VMEM)
     # Per-trial blocks.
     tab = pl.BlockSpec((1, 5, 5), lambda t, i: (t, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -856,7 +908,7 @@ def _counts_pallas_trials_jit(
     f_all, lsf2, term2 = pl.pallas_call(
         functools.partial(_fwd_all_impl, 1),
         grid=(Ntr, G),
-        in_specs=[blk3, blk3, blk3, blk2, blk2, blk2, tab, tab, tab],
+        in_specs=[blk3, blk3, blk3, blk2, lane_const, tab, tab, tab],
         out_specs=[tblk4, tblk2, tblk2],
         out_shape=[
             jax.ShapeDtypeStruct((Ntr * D1K, _NSTATE, Wp, B), jnp.float32),
@@ -866,10 +918,11 @@ def _counts_pallas_trials_jit(
         scratch_shapes=(
             [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
             + [pltpu.VMEM((1, B), jnp.float32),
-               pltpu.VMEM((1, B), jnp.float32)]
+               pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((1, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
-    )(xb, yb, valid, s1, s2, fink, tables.T, tables.Ematch, tables.Egap)
+    )(xb, yb, valid, s1, fink, tables.T, tables.Ematch, tables.Egap)
 
     lsf = lsf2.reshape(Ntr, D1K, B)
     term = term2.reshape(Ntr, D1K, B)
@@ -879,13 +932,6 @@ def _counts_pallas_trials_jit(
         jnp.log(jnp.maximum(term[:, d_idx, b_idx], 1e-30))
         + lsf[:, d_idx, b_idx]
     )  # [Ntr, B]
-
-    pad2 = lambda a: jnp.pad(
-        _pad_steps(a, D1K), [(0, 2)] + [(0, 0)] * (a.ndim - 1)
-    )
-    xb_p, yb_p = pad2(batch.xb), pad2(batch.yb)
-    s1_p = pad2(batch.s1.astype(jnp.int32))[:, None, :]
-    s2_p = pad2(batch.s2.astype(jnp.int32))[:, None, :]
 
     rev3 = pl.BlockSpec((K, Wp, B), lambda t, i: (G - 1 - i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -913,11 +959,9 @@ def _counts_pallas_trials_jit(
         grid=(Ntr, G),
         in_specs=[
             trev4, trev2, rev3,
-            rev3, rev3,           # xb, yb at d
-            rev3, rev3,           # at d+1
-            rev3, rev3,           # at d+2
-            rev2, rev2,           # s1(d+1), s2(d+2)
-            rev2, rev2,           # fink, find
+            rev3, rev3,           # xb, yb at d (emissions delayed)
+            rev2,                 # s1 at d
+            lane_const, lane_const,   # fink, find
             tab, tab, tab, tz,
         ],
         out_specs=[trev3, tlast, tlast],
@@ -932,6 +976,8 @@ def _counts_pallas_trials_jit(
                pltpu.VMEM((1, B), jnp.float32),
                pltpu.VMEM((32, B), jnp.float32),
                pltpu.VMEM((32, B), jnp.float32)]
+            + [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(6)]
+            + [pltpu.VMEM((2, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
     )(
@@ -939,9 +985,7 @@ def _counts_pallas_trials_jit(
         lsf2,
         valid,
         xb, yb,
-        xb_p[1 : D1K + 1], yb_p[1 : D1K + 1],
-        xb_p[2 : D1K + 2], yb_p[2 : D1K + 2],
-        s1_p[1 : D1K + 1], s2_p[2 : D1K + 2],
+        s1,
         fink, find,
         tables.T, tables.Ematch, tables.Egap,
         logZ[:, None, :],
@@ -1006,7 +1050,6 @@ def _counts_pallas_multi_trials_jit(tables: FbTables, mdev) -> CountsResult:
     yb = _pad_steps(mdev.yb, D1K)
     valid = _pad_steps(mdev.valid, D1K)
     s1 = _pad_steps(mdev.s1, D1K)[:, None, :]
-    s2 = _pad_steps(mdev.s2, D1K)[:, None, :]
     start = _pad_steps(mdev.start, D1K)[:, None, :]
     fink = jnp.pad(mdev.fink, [(0, D1K - D1), (0, 0)],
                    constant_values=-1)[:, None, :]
@@ -1027,7 +1070,7 @@ def _counts_pallas_multi_trials_jit(tables: FbTables, mdev) -> CountsResult:
     f_all, lsf2, term2 = pl.pallas_call(
         functools.partial(_fwd_all_multi_impl, 1),
         grid=(Ntr, G),
-        in_specs=[blk3, blk3, blk3, blk2, blk2, blk2, blk2,
+        in_specs=[blk3, blk3, blk3, blk2, blk2, blk2,
                   tab, tab, tab],
         out_specs=[tblk4, tblk2, tblk2],
         out_shape=[
@@ -1038,10 +1081,11 @@ def _counts_pallas_multi_trials_jit(tables: FbTables, mdev) -> CountsResult:
         scratch_shapes=(
             [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
             + [pltpu.VMEM((1, B), jnp.float32),
-               pltpu.VMEM((1, B), jnp.float32)]
+               pltpu.VMEM((1, B), jnp.float32),
+               pltpu.VMEM((1, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
-    )(xb, yb, valid, s1, s2, fink, start,
+    )(xb, yb, valid, s1, fink, start,
       tables.T, tables.Ematch, tables.Egap)
 
     lsf = lsf2.reshape(Ntr, D1K, B)
@@ -1059,13 +1103,6 @@ def _counts_pallas_multi_trials_jit(tables: FbTables, mdev) -> CountsResult:
         (p0 > 0)[None], lsf[:, jnp.maximum(p0 - 1, 0), pl_], 0.0
     )
     logZ = logterm[:, pf, pl_] - base  # [Ntr, P]
-
-    pad2 = lambda a: jnp.pad(
-        _pad_steps(a, D1K), [(0, 2)] + [(0, 0)] * (a.ndim - 1)
-    )
-    xb_p, yb_p = pad2(mdev.xb), pad2(mdev.yb)
-    s1_p = pad2(mdev.s1)[:, None, :]
-    s2_p = pad2(mdev.s2)[:, None, :]
 
     rev3 = pl.BlockSpec((K, Wp, B), lambda t, i: (G - 1 - i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -1091,11 +1128,9 @@ def _counts_pallas_multi_trials_jit(tables: FbTables, mdev) -> CountsResult:
         grid=(Ntr, G),
         in_specs=[
             trev4, trev2, rev3,
-            rev3, rev3,
-            rev3, rev3,
-            rev3, rev3,
-            rev2, rev2,
-            rev2, rev2, rev2,
+            rev3, rev3,           # xb, yb at d (emissions delayed)
+            rev2,                 # s1 at d
+            rev2, rev2, rev2,     # fink, find, start streams
             tab, tab, tab,
             trev2,
         ],
@@ -1111,6 +1146,8 @@ def _counts_pallas_multi_trials_jit(tables: FbTables, mdev) -> CountsResult:
                pltpu.VMEM((1, B), jnp.float32),
                pltpu.VMEM((32, B), jnp.float32),
                pltpu.VMEM((32, B), jnp.float32)]
+            + [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(6)]
+            + [pltpu.VMEM((2, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
     )(
@@ -1118,9 +1155,7 @@ def _counts_pallas_multi_trials_jit(tables: FbTables, mdev) -> CountsResult:
         lsf2,
         valid,
         xb, yb,
-        xb_p[1 : D1K + 1], yb_p[1 : D1K + 1],
-        xb_p[2 : D1K + 2], yb_p[2 : D1K + 2],
-        s1_p[1 : D1K + 1], s2_p[2 : D1K + 2],
+        s1,
         fink, find, start,
         tables.T, tables.Ematch, tables.Egap,
         L.reshape(Ntr * D1K, 1, B),

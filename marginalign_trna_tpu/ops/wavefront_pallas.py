@@ -257,7 +257,7 @@ def _nw_kernel_multi(
         ptr = m_ptr | (ix_ptr << 2) | (iy_ptr << 3)
 
         kidx = jax.lax.broadcasted_iota(jnp.int32, new[0].shape, 0)
-        seed = (kidx == 0) & (start_ref[kb] != 0)
+        seed = (kidx == 0) & (start_ref[kb].astype(jnp.float32) != 0.0)
         new[0] = jnp.where(seed, 0.0, new[0])
         new[1] = jnp.where(seed, NEG, new[1])
         new[2] = jnp.where(seed, NEG, new[2])
@@ -470,7 +470,7 @@ def _mea_kernel_multi(
         a_new = jnp.where(valid, a_new, NEG)
 
         kidx = jax.lax.broadcasted_iota(jnp.int32, a_new.shape, 0)
-        seed = (kidx == 0) & (start_ref[kb] != 0)
+        seed = (kidx == 0) & (start_ref[kb].astype(jnp.float32) != 0.0)
         a_new = jnp.where(seed, 0.0, a_new)
         ptr = jnp.where(seed, 0, ptr)
 

@@ -45,9 +45,12 @@ def test_em_likelihood_monotone(rng):
     assert all(b >= a - 1e-2 for a, b in zip(hist, hist[1:])), hist
 
 
-def test_em_recovers_match_structure(rng):
+def test_em_recovers_match_structure():
     """On substitution-only data, the trained model should put most match
-    emission mass on the diagonal and favour match-to-match transitions."""
+    emission mass on the diagonal and favour match-to-match transitions.
+    Own fixed-seed rng: the session rng's state depends on test order and
+    this test's thresholds are data-marginal."""
+    rng = np.random.default_rng(7)
     jobs = _synthetic_jobs(rng, n_pairs=16, length=80, sub_rate=0.1)
     opts = EmOptions(trials=2, iterations=15, band_width=15, seed=1)
     result = train_em(jobs, opts)

@@ -246,3 +246,62 @@ def test_em_multi_smoke(rng):
     assert len(hist) >= 2
     assert hist[-1] >= hist[0] - 1e-6
     assert np.allclose(res.hmm.transitions.sum(axis=1), 1.0, atol=1e-3)
+
+
+def test_trials_kernels_match_single_trial(rng):
+    """counts_pallas_trials / counts_pallas_multi_trials (trials = major
+    grid axis) match per-trial single-model kernel calls."""
+    import jax.numpy as jnp
+
+    from marginalign_trna_tpu.ops.band import pack_multi_banded_batch
+    from marginalign_trna_tpu.ops.fb import FbTables
+    from marginalign_trna_tpu.ops.fb_pallas_counts import (
+        counts_pallas, counts_pallas_multi, counts_pallas_multi_trials,
+        counts_pallas_trials,
+    )
+
+    hmm = PairHmm.load(MODEL)
+    t0 = make_tables(hmm)
+    # Second trial: perturbed transitions (renormalised).
+    T1 = np.asarray(t0.T) * (0.8 + 0.4 * rng.random((5, 5)))
+    T1 = np.where(np.asarray(t0.T) > 0, T1, 0.0)
+    T1 = T1 / T1.sum(axis=1, keepdims=True)
+    t1 = t0._replace(T=jnp.asarray(T1, jnp.float32))
+    stacked = FbTables(
+        T=jnp.stack([t0.T, t1.T]),
+        Ematch=jnp.stack([t0.Ematch, t1.Ematch]),
+        Egap=jnp.stack([t0.Egap, t1.Egap]),
+        pi=jnp.stack([t0.pi, t1.pi]),
+    )
+
+    reads, refs, paths = _problems(rng)
+
+    # Single-problem batch.
+    batch = pack_banded_batch(reads, refs, width=9, paths=paths,
+                              pad_batch_to=8)
+    dev = device_batch(batch)
+    res_tr = counts_pallas_trials(stacked, dev)
+    for tr, tables in enumerate((t0, t1)):
+        ref = counts_pallas(tables, dev)
+        assert np.allclose(np.asarray(res_tr.logZ[tr]),
+                           np.asarray(ref.logZ), rtol=1e-4, atol=1e-4)
+        assert np.allclose(np.asarray(res_tr.trans_counts[tr]),
+                           np.asarray(ref.trans_counts),
+                           rtol=1e-3, atol=1e-3)
+        assert np.allclose(np.asarray(res_tr.posteriors[tr]),
+                           np.asarray(ref.posteriors), atol=2e-4)
+
+    # Multi-problem lanes.
+    mb = pack_multi_banded_batch(reads, refs, width=9, paths=paths,
+                                 pad_steps_to=96)
+    mdev = multi_device_batch(mb)
+    res_mtr = counts_pallas_multi_trials(stacked, mdev)
+    for tr, tables in enumerate((t0, t1)):
+        ref = counts_pallas_multi(tables, mdev)
+        assert np.allclose(np.asarray(res_mtr.logZ[tr]),
+                           np.asarray(ref.logZ), rtol=1e-4, atol=1e-4)
+        assert np.allclose(np.asarray(res_mtr.trans_counts[tr]),
+                           np.asarray(ref.trans_counts),
+                           rtol=1e-3, atol=1e-3)
+        assert np.allclose(np.asarray(res_mtr.posteriors[tr]),
+                           np.asarray(ref.posteriors), atol=2e-4)
