@@ -83,12 +83,12 @@ def _use_interpret() -> bool:
 
 
 def _compiler_params():
-    """Optional scoped-VMEM budget override (MARGINALIGN_VMEM_LIMIT_MB).
-    Larger STEP_BLOCKs need more than the 16MB default scoped limit for
-    their double-buffered streams."""
-    mb = __import__("os").environ.get("MARGINALIGN_VMEM_LIMIT_MB")
-    if not mb:
-        return None
+    """Scoped-VMEM budget (MARGINALIGN_VMEM_LIMIT_MB, default 32).  The
+    16MB compiler default is exceeded at wide batches (B >= 4096 lanes)
+    now that the backward kernels carry emission/shift delay lines in
+    scratch; v5e has 128MB of VMEM, so 32MB scoped is still conservative.
+    Larger STEP_BLOCKs need more again for their double-buffered streams."""
+    mb = __import__("os").environ.get("MARGINALIGN_VMEM_LIMIT_MB", "32")
     return pltpu.CompilerParams(vmem_limit_bytes=int(mb) * 1024 * 1024)
 
 
