@@ -29,8 +29,10 @@ def main():
     import jax
 
     from marginalign_trna_tpu.models.hmm import PairHmm
-    from marginalign_trna_tpu.ops.dispatch import fb_posteriors
-    from marginalign_trna_tpu.ops.fb import device_batch, make_tables
+    from marginalign_trna_tpu.ops.dispatch import (
+        fb_posteriors, make_fb_device_batch,
+    )
+    from marginalign_trna_tpu.ops.fb import make_tables
     from __graft_entry__ import _example_batch
 
     platform = jax.devices()[0].platform
@@ -50,7 +52,7 @@ def main():
         )
     )
     tables = make_tables(hmm)
-    dev = device_batch(batch)
+    dev = make_fb_device_batch(batch)
 
     def run():
         logZ, post = fb_posteriors(tables, dev)

@@ -389,6 +389,75 @@ def pack_multi_banded_batch(
     )
 
 
+# --------------------- circular (absolute-coordinate) band layout ---------
+#
+# Row r of the circular layout holds the cell with read-prefix coordinate
+# i = r (mod Wp): circ[d, i mod Wp, b] = rel[d, i - lo(d, b), b].  Because a
+# cell's row no longer depends on the band offset, the DP recurrences become
+# UNCONDITIONAL single-row rotates (i-1 is always "row - 1"), with the mod-Wp
+# wrap doing exactly the right thing; the s1/s2 shift streams and every
+# shift predicate disappear from the kernels.  Aliasing safety: a reference
+# to row t mod Wp can only collide with t +- Wp, which is outside the stored
+# frontier's band whenever Wp >= width + 1 (padded_band_width guarantees
+# width + 2), and out-of-band rows of stored frontiers are zero by
+# construction (states are masked by `valid` every step).
+
+
+def circular_streams(batch: BandedBatch):
+    """(xb, yb, valid, fink) in the circular layout.
+
+    fink[b] = m[b] mod Wp: the terminal cell (i = m) sits at a FIXED
+    circular row, one per lane (for MultiBandedBatch use
+    circular_streams_multi, whose terminals are per-step).  Chunked along d
+    to bound the index scratch."""
+    D1, Wp, B = batch.xb.shape
+    xb_c = np.empty_like(batch.xb)
+    yb_c = np.empty_like(batch.yb)
+    valid_c = np.empty_like(batch.valid)
+    rows = np.arange(Wp, dtype=np.int32)[None, :, None]
+    CH = 512
+    for d0 in range(0, D1, CH):
+        sl = slice(d0, min(d0 + CH, D1))
+        lo = batch.lo[sl][:, None, :].astype(np.int32)
+        idx = (rows - lo) % Wp  # rel row k feeding circ row r
+        xb_c[sl] = np.take_along_axis(batch.xb[sl], idx, axis=1)
+        yb_c[sl] = np.take_along_axis(batch.yb[sl], idx, axis=1)
+        valid_c[sl] = np.take_along_axis(batch.valid[sl], idx, axis=1)
+    fink = (batch.m % Wp).astype(np.int32)
+    return xb_c, yb_c, valid_c, fink
+
+
+def circ_to_rel(values_c: np.ndarray, batch: BandedBatch) -> np.ndarray:
+    """Convert a circular-layout [D1, Wp, B] per-cell array (e.g. the
+    posterior band) back to the band-relative layout: rel[d, k] =
+    circ[d, (lo(d) + k) mod Wp]."""
+    D1, Wp, B = values_c.shape
+    out = np.empty_like(values_c)
+    rows = np.arange(Wp, dtype=np.int32)[None, :, None]
+    CH = 512
+    for d0 in range(0, D1, CH):
+        sl = slice(d0, min(d0 + CH, D1))
+        lo = batch.lo[sl][:, None, :].astype(np.int32)
+        idx = (rows + lo) % Wp
+        out[sl] = np.take_along_axis(values_c[sl], idx, axis=1)
+    return out
+
+
+def circular_streams_multi(mb: "MultiBandedBatch"):
+    """(xb, yb, valid, fink_steps) in the circular layout for multi-problem
+    lanes.  mb.lo is the problem-LOCAL band offset at each global step, so
+    the same row map applies per step; each problem's seed cell (local
+    i = 0) is row 0, and the per-step terminal stream moves to the
+    terminal's circular row (local m mod Wp), -1 off terminal steps."""
+    xb_c, yb_c, valid_c, _ = circular_streams(mb)
+    fink_c = np.where(
+        mb.fink_steps >= 0,
+        (mb.lo.astype(np.int64) + mb.fink_steps) % mb.wp,
+        -1,
+    ).astype(np.int32)
+    return xb_c, yb_c, valid_c, fink_c
+
+
 def unpack_problem(
     values: np.ndarray, mb: MultiBandedBatch, p: int, fill: float = 0.0
 ) -> np.ndarray:

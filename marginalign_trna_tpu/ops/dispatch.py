@@ -25,10 +25,44 @@ def use_pallas() -> bool:
     return jax.default_backend() != "cpu"
 
 
+def use_circ() -> bool:
+    """Circular band layout (band.circular_streams): the Pallas kernels'
+    band motion becomes unconditional static rotates.  Default on
+    accelerators; MARGINALIGN_LAYOUT=rel forces the band-relative path."""
+    env = os.environ.get("MARGINALIGN_LAYOUT", "").lower()
+    if env == "circ":
+        return True
+    if env == "rel":
+        return False
+    return False  # TODO flip to use_pallas() once all consumers are circ-aware
+
+
+def make_fb_device_batch(batch):
+    """Layout-appropriate device streams for fb_posteriors (a
+    CircDeviceBatch on the circular path, else a DeviceBatch)."""
+    if use_pallas() and use_circ():
+        from .fb import circ_device_batch
+
+        return circ_device_batch(batch)
+    from .fb import device_batch
+
+    return device_batch(batch)
+
+
 def fb_posteriors(
-    tables: FbTables, batch: DeviceBatch
+    tables: FbTables, batch
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(logZ [B], posterior match band [D1, Wp, B]) via the active kernel."""
+    """(logZ [B], posterior match band [D1, Wp, B]) via the active kernel.
+
+    With a CircDeviceBatch input the posterior band comes back in the
+    CIRCULAR layout (band.circ_to_rel converts; device-side consumers use
+    the circular-aware expectation helpers)."""
+    from .fb import CircDeviceBatch
+
+    if isinstance(batch, CircDeviceBatch):
+        from .fb_pallas import posteriors_pallas_circ
+
+        return posteriors_pallas_circ(tables, batch)
     if use_pallas():
         from .fb_pallas import posteriors_pallas_specialised
 

@@ -74,6 +74,30 @@ def device_batch(batch: BandedBatch) -> DeviceBatch:
     )
 
 
+class CircDeviceBatch(NamedTuple):
+    """Circular-layout device streams (see band.circular_streams): no
+    s1/s2 shift streams — band motion is implicit in the row map."""
+
+    xb: jnp.ndarray      # [D1, Wp, B] int8
+    yb: jnp.ndarray      # [D1, Wp, B] int8
+    valid: jnp.ndarray   # [D1, Wp, B] bool
+    final_d: jnp.ndarray  # [B] int32
+    fink: jnp.ndarray     # [B] int32  terminal circular row (m mod Wp)
+
+
+def circ_device_batch(batch: BandedBatch) -> CircDeviceBatch:
+    from .band import circular_streams
+
+    xb_c, yb_c, valid_c, fink = circular_streams(batch)
+    return CircDeviceBatch(
+        xb=jnp.asarray(xb_c),
+        yb=jnp.asarray(yb_c),
+        valid=jnp.asarray(valid_c),
+        final_d=jnp.asarray(batch.final_d),
+        fink=jnp.asarray(fink),
+    )
+
+
 # --------------------------------------------------------------------- helpers
 
 

@@ -101,11 +101,22 @@ def _roll_down(a):
     return pltpu.roll(a, 1, axis=0)
 
 
+# Diagnostics-only knob: "static" replaces every conditional roll+select
+# with one unconditional roll, "none" removes rolls entirely.  Both produce
+# WRONG numbers — they exist to measure the roll/select cost ceiling on
+# hardware (see docs/KERNELS.md optimisation log).
+_ROLL_MODE = __import__("os").environ.get("MARGINALIGN_ROLL_MODE", "normal")
+
+
 def _roll_shift(a, t_is_1, t_is_m1):
     """out[k] = a[k+1] where t==1, a[k-1] where t==-1, else a[k].
     t_* are boolean [1, B] masks (or literal False for statically-impossible
     branches, which fold away).  Wrapped rows land in guard rows that the
     valid mask zeroes."""
+    if _ROLL_MODE == "none":
+        return a
+    if _ROLL_MODE == "static":
+        return _roll_up(a) if t_is_1 is not False else _roll_down(a)
     out = a
     if t_is_m1 is not False:
         out = jnp.where(t_is_m1, _roll_down(a), out)
@@ -1580,6 +1591,349 @@ def _posteriors_pre_multi(st, gc, mdev: MultiDeviceBatch):
         L[:, None, :],
     )[0]
     return logZ, post[:D1]
+
+
+# --------------- circular band layout (unconditional static rotates) ------
+#
+# Band rows are absolute read coordinates modulo Wp (band.circular_streams):
+# row r holds i ≡ r (mod Wp), so "the value at i-1" is ALWAYS one
+# roll_down / roll_up, for every lane on every step — the conditional
+# roll+select band-motion mix and the s1/s2 shift streams disappear
+# entirely.  Per step the forward needs 3 static rotates (match mix and the
+# two read-consuming gap mixes; ref-emitting gap states move nowhere) and
+# the backward 3; the mod-Wp wrap of the rotate is exactly the row map, and
+# any aliased frontier row is out-of-band and therefore zero (see
+# band.circular_streams for the Wp >= width+1 safety argument).
+
+
+def _make_bwd_kernel_circ_first(st, gc):
+    """Circular-layout twin of _make_bwd_kernel_pre_first: backward-first,
+    emitting (bm, bls, origin row for logZ).  Successor references are
+    unconditional: M at (d+2, i+1) and the read-consuming gaps (2, 4) at
+    (d+1, i+1) are roll_up; the ref-emitting gaps (1, 3) at (d+1, i) move
+    nowhere."""
+    T = st[0]
+    ch = _gap_chain_consts(st, gc)
+
+    def kernel(
+        valid_ref, em_ref, fink_ref, find_ref,
+        bm_out_ref, bls_out_ref, zrow_ref,
+        b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
+        bls_ref, cprev_ref, eh1_ref, eh2_ref,
+    ):
+        b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
+        b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
+        i = pl.program_id(0)
+        K = STEP_BLOCK
+
+        @pl.when(i == 0)
+        def _init():
+            zero = jnp.zeros_like(b1_refs[0][:, :])
+            for s in range(_NSTATE):
+                b1_refs[s][:, :] = zero
+                b2_refs[s][:, :] = zero
+            bls_ref[:, :] = jnp.zeros_like(bls_ref)
+            cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+            eh1_ref[:, :] = zero
+            eh2_ref[:, :] = zero
+
+        b1 = [b1_refs[s][:, :] for s in range(_NSTATE)]
+        b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
+        bls = bls_ref[:, :]
+        cprev = cprev_ref[:, :]
+        e1 = eh1_ref[:, :]
+        e2 = eh2_ref[:, :]
+        fink = fink_ref[:, :]
+        find = find_ref[:, :]
+        kidx = jax.lax.broadcasted_iota(jnp.int32, b1[0].shape, 0)
+
+        blk_base = (pl.num_programs(0) - 1 - i) * K
+        for t in range(K):
+            kb = K - 1 - t
+            d = blk_base + kb
+
+            valid = valid_ref[kb].astype(jnp.float32)
+
+            q = [None] * _NSTATE
+            q[0] = _roll_up(e2 * b2[0])
+            if _bwd_divide_step(kb):
+                q[0] = q[0] / cprev
+            q[1] = b1[1]
+            q[3] = b1[3]
+            q[2] = _roll_up(b1[2])
+            q[4] = _roll_up(b1[4])
+            e2 = e1
+            e1 = em_ref[kb]
+
+            new = [None] * _NSTATE
+            if ch is not None:
+                sel_k = jnp.where(find == d, fink, -1)  # [1, B]
+                mask = kidx == sel_k
+                acc0 = T[0][0] * q[0]
+                for s in range(1, _NSTATE):
+                    acc0 = acc0 + ch.m0[s - 1] * q[s]
+                new[0] = jnp.where(mask, 1.0, acc0) * valid
+                for s in range(1, _NSTATE):
+                    accs = q[0] + ch.cb[s - 1] * q[s]
+                    new[s] = jnp.where(mask, ch.r[s - 1], accs) * valid
+            else:
+                inj = jnp.where((kidx == fink) & (d == find), 1.0, 0.0)
+                zero_arr = jnp.zeros_like(q[0])
+                for s in range(_NSTATE):
+                    acc = None
+                    for u in range(_NSTATE):
+                        v = T[s][u] * (1.0 if u == 0 else gc[u - 1])
+                        if v == 0.0:
+                            continue
+                        term = q[u] * v
+                        acc = term if acc is None else acc + term
+                    if acc is None:
+                        acc = zero_arr
+                    new[s] = (acc + inj) * valid
+
+            if _bwd_rescale_step(kb):
+                bmax = _max5(new).max(axis=0, keepdims=True)
+                c = jnp.where(bmax > 0, bmax, 1.0)
+                inv_c = 1.0 / c
+                bls = bls + jnp.log(c)
+                cprev = c
+                b_out = [new[s] * inv_c for s in range(_NSTATE)]
+            else:
+                b_out = new
+
+            bm_out_ref[kb] = b_out[0]
+            bls_out_ref[kb] = bls
+
+            b2 = b1
+            b1 = b_out
+
+        # Origin cell (d = 0, i = 0) is circular row 0, same as rel layout.
+        if ch is not None:
+            zr = b1[0][0:1]
+            for s in range(1, _NSTATE):
+                zr = zr + T[s][0] * b1[s][0:1]
+            zrow_ref[0] = 0.2 * zr
+        else:
+            zrow_ref[0] = 0.2 * (
+                b1[0][0:1] + b1[1][0:1] + b1[2][0:1] + b1[3][0:1]
+                + b1[4][0:1]
+            )
+
+        for s in range(_NSTATE):
+            b1_refs[s][:, :] = b1[s]
+            b2_refs[s][:, :] = b2[s]
+        bls_ref[:, :] = bls
+        cprev_ref[:, :] = cprev
+        eh1_ref[:, :] = e1
+        eh2_ref[:, :] = e2
+
+    return kernel
+
+
+def _make_fwd_kernel_circ_post(st, gc):
+    """Circular-layout twin of _make_fwd_kernel_pre_post: consumes
+    (bm, bls, logZ) and emits normalised posteriors.  The match mix (from
+    d-2) and the read-consuming gap mixes (2, 4; from d-1, i-1) are one
+    roll_down each; the ref-emitting gap mixes (1, 3) move nowhere."""
+    T = st[0]
+    ch = _gap_chain_consts(st, gc)
+
+    def kernel(
+        em_ref, valid_ref, bm_ref, bls_ref, logZ_ref,
+        post_ref,
+        f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
+        ls_ref, cprev_ref,
+    ):
+        f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
+        f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            zero = jnp.zeros_like(f1_refs[0][:, :])
+            row0 = jax.lax.broadcasted_iota(jnp.int32, zero.shape, 0) == 0
+            # Uniform start distribution baked in (check_uniform_pi at
+            # entry); scaled gap states store pi / k[t].
+            for s in range(_NSTATE):
+                pi_s = 0.2 if (ch is None or s == 0) else 0.2 / ch.k[s - 1]
+                f1_refs[s][:, :] = jnp.where(row0, pi_s, 0.0)
+                f2_refs[s][:, :] = zero
+            ls_ref[:, :] = jnp.zeros_like(ls_ref)
+            cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+
+        f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
+        f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
+        ls = ls_ref[:, :]
+        cprev = cprev_ref[:, :]
+        zero_arr = jnp.zeros_like(f1[0])
+        logZ = logZ_ref[:, :]
+
+        def mix(vals, t, coeff=1.0):
+            acc = None
+            for s in range(_NSTATE):
+                v = T[s][t] * coeff
+                if v == 0.0:
+                    continue
+                term = vals[s] * v
+                acc = term if acc is None else acc + term
+            return acc
+
+        def mix_match(vals):
+            if ch is None:
+                m = mix(vals, 0)
+                return m if m is not None else zero_arr
+            acc = T[0][0] * vals[0]
+            for s in range(1, _NSTATE):
+                acc = acc + ch.mcoef[s - 1] * vals[s]
+            return acc
+
+        for kb in range(STEP_BLOCK):
+            # em is premasked by valid: the match state needs no separate
+            # valid multiply.
+            e_match = em_ref[kb]
+            valid = valid_ref[kb].astype(jnp.float32)
+
+            mix_m = mix_match(f2)
+            if _fwd_divide_step(kb):
+                mix_m = mix_m / cprev
+            if ch is not None:
+                mix_g = [f1[0] + ch.c[t - 1] * f1[t]
+                         for t in range(1, _NSTATE)]
+            else:
+                mix_g = [mix(f1, t, gc[t - 1]) for t in range(1, _NSTATE)]
+                mix_g = [m if m is not None else zero_arr for m in mix_g]
+
+            new = [None] * _NSTATE
+            new[0] = e_match * _roll_down(mix_m)
+            new[1] = mix_g[0] * valid
+            new[3] = mix_g[2] * valid
+            new[2] = _roll_down(mix_g[1]) * valid
+            new[4] = _roll_down(mix_g[3]) * valid
+
+            rescale = _fwd_rescale_step(kb)
+            if rescale:
+                fmax = _max5(new).max(axis=0, keepdims=True)
+                c = jnp.where(fmax > 0, fmax, 1.0)
+                inv_c = 1.0 / c
+                scaled = [new[s] * inv_c for s in range(_NSTATE)]
+            else:
+                scaled = new
+
+            if kb == 0:
+                # d = 0 on the first grid step is pure initialisation.
+                is_first = i == 0
+                f1_next = [jnp.where(is_first, f1[s], scaled[s])
+                           for s in range(_NSTATE)]
+                f2_next = [jnp.where(is_first, f2[s], f1[s])
+                           for s in range(_NSTATE)]
+                if rescale:  # only when STEP_BLOCK == 1
+                    ls = jnp.where(is_first, ls, ls + jnp.log(c))
+                    cprev = jnp.where(is_first, cprev, c)
+            else:
+                f1_next = scaled
+                f2_next = f1
+                if rescale:
+                    ls = ls + jnp.log(c)
+                    cprev = c
+
+            alpha = jnp.exp(ls + bls_ref[kb] - logZ)  # [1, B]
+            post_ref[kb] = f1_next[0] * bm_ref[kb] * alpha
+            f1, f2 = f1_next, f2_next
+
+        for s in range(_NSTATE):
+            f1_refs[s][:, :] = f1[s]
+            f2_refs[s][:, :] = f2[s]
+        ls_ref[:, :] = ls
+        cprev_ref[:, :] = cprev
+
+    return kernel
+
+
+def _posteriors_circ(st, gc, cdev):
+    """Backward-first FB over circular-layout streams (no s1/s2 anywhere).
+    Returns (logZ [B], posterior band [D1, Wp, B] in CIRCULAR layout —
+    band.circ_to_rel converts for band-relative consumers)."""
+    D1, Wp, B = cdev.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    valid = _pad_steps(cdev.valid.astype(jnp.int8), D1K)
+    fink = cdev.fink.astype(jnp.int32)[None, :]
+    find = cdev.final_d.astype(jnp.int32)[None, :]
+
+    xb = _pad_steps(cdev.xb, D1K)
+    yb = _pad_steps(cdev.yb, D1K)
+    ematch = _precompute_ematch(st, xb, yb) * valid.astype(jnp.float32)
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rev3 = pl.BlockSpec((K, Wp, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rev2 = pl.BlockSpec((K, 1, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    scratch = (
+        [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+        + [pltpu.VMEM((1, B), jnp.float32), pltpu.VMEM((1, B), jnp.float32)]
+    )
+    bwd_scratch = scratch + [
+        pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32),
+    ]
+    bm, bls2, zrow = pl.pallas_call(
+        _make_bwd_kernel_circ_first(st, gc),
+        grid=(G,),
+        in_specs=[rev3, rev3, full, full],
+        out_specs=[rev3, rev2,
+                   pl.BlockSpec((1, 1, B), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, B), jnp.float32),
+        ],
+        scratch_shapes=bwd_scratch,
+        interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
+    )(valid, ematch, fink, find)
+
+    logZ = (
+        jnp.log(jnp.maximum(zrow[0, 0, :], 1e-30)) + bls2[0, 0, :]
+    )
+
+    post = pl.pallas_call(
+        _make_fwd_kernel_circ_post(st, gc),
+        grid=(G,),
+        in_specs=[blk3, blk3, blk3, blk2, full],
+        out_specs=[blk3],
+        out_shape=[jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32)],
+        scratch_shapes=scratch,
+        interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
+    )(ematch, valid, bm, bls2, logZ[None, :])[0]
+    return logZ, post[:D1]
+
+
+@functools.partial(jax.jit, static_argnames=("st",))
+def _posteriors_circ_static(st, cdev):
+    gc = _flat_gap_consts(st)
+    assert gc is not None, "circular path needs flat gap emissions"
+    return _posteriors_circ(st, gc, cdev)
+
+
+def posteriors_pallas_circ(tables: FbTables, cdev):
+    """(logZ [B], posterior band in CIRCULAR layout) over a
+    fb.CircDeviceBatch.  Model-specialised, flat-gap models (all
+    shipped/normalised ones); band motion costs three unconditional
+    single-row rotates per direction per step instead of six conditional
+    roll+select pairs."""
+    check_uniform_pi(tables)
+    return _posteriors_circ_static(static_tables(tables), cdev)
 
 
 @functools.partial(jax.jit, static_argnames=("st",))

@@ -1,0 +1,118 @@
+"""Circular-band-layout FB kernels vs the band-relative paths.
+
+The circular layout (band.circular_streams) stores row r = i mod Wp; the
+kernels then use unconditional single-row rotates instead of conditional
+roll+select band motion.  These tests check the layout conversion is a
+bijection on in-band cells and that the circ kernels reproduce the
+specialised band-relative kernels exactly (same arithmetic, reindexed).
+"""
+import numpy as np
+import pytest
+
+from marginalign_trna_tpu.models.hmm import PairHmm
+from marginalign_trna_tpu.ops.band import (
+    circ_to_rel, circular_streams, pack_banded_batch, path_from_cigar,
+)
+from marginalign_trna_tpu.ops.fb import (
+    circ_device_batch, device_batch, forward_backward, make_tables,
+)
+from marginalign_trna_tpu.ops.fb_pallas import (
+    posteriors_pallas_circ, posteriors_pallas_specialised,
+)
+
+REF_MAPPERS = "/root/reference/src/margin/mappers"
+
+
+def _mixed_batch(rng):
+    hmm = PairHmm.load(REF_MAPPERS + "/last_hmm_20.txt")
+    reads = [rng.integers(0, 4, size=m).astype(np.int8) for m in (9, 17, 30)]
+    refs = [rng.integers(0, 4, size=n).astype(np.int8) for n in (12, 15, 28)]
+    batch = pack_banded_batch(reads, refs, width=31, pad_batch_to=4)
+    return hmm, batch
+
+
+def test_circular_streams_roundtrip(rng):
+    _, batch = _mixed_batch(rng)
+    xb_c, yb_c, valid_c, fink = circular_streams(batch)
+    assert valid_c.sum() == batch.valid.sum()
+    # circ_to_rel inverts the conversion on every stream.
+    assert np.array_equal(circ_to_rel(xb_c, batch), batch.xb)
+    assert np.array_equal(circ_to_rel(yb_c, batch), batch.yb)
+    assert np.array_equal(circ_to_rel(valid_c, batch), batch.valid)
+    # Terminal row: i = m lives at m mod Wp.
+    assert np.array_equal(fink, batch.m % batch.wp)
+    # Spot-check the row map on valid cells: circ[d, (lo+k) % Wp] == rel.
+    d = int(batch.final_d[0]) // 2
+    for k in range(batch.width):
+        if not batch.valid[d, k, 0]:
+            continue
+        r = (int(batch.lo[d, 0]) + k) % batch.wp
+        assert valid_c[d, r, 0]
+        assert xb_c[d, r, 0] == batch.xb[d, k, 0]
+
+
+def test_circ_posteriors_match_engine(rng):
+    hmm, batch = _mixed_batch(rng)
+    tables = make_tables(hmm)
+    ref = forward_backward(tables, device_batch(batch),
+                           want_posteriors=True)
+    logZ, post_c = posteriors_pallas_circ(tables, circ_device_batch(batch))
+    assert np.allclose(np.asarray(logZ)[:3], np.asarray(ref.logZ)[:3],
+                       rtol=1e-4, atol=1e-4)
+    post = circ_to_rel(np.asarray(post_c), batch)
+    # Compare in-band cells only (the layouts park zeros differently in
+    # guard rows).
+    ok = batch.valid
+    assert np.allclose(post[ok], np.asarray(ref.posteriors)[ok], atol=2e-4)
+    assert np.allclose(post[~ok], 0.0, atol=2e-4)
+
+
+def test_circ_matches_specialised_with_moving_band(rng):
+    """Guide-path case: the band offset actually moves, so the circular
+    row map is exercised (lo motion is where the layouts differ)."""
+    hmm = PairHmm.load(REF_MAPPERS + "/last_hmm_20.txt")
+    n = 80
+    x = rng.integers(0, 4, size=n).astype(np.int8)
+    y = np.concatenate([x[:40], x[50:]])  # 10-base deletion
+    pd, pi = path_from_cigar([(0, 40), (2, 10), (0, 30)])
+    batch = pack_banded_batch([y], [x], width=21, paths=[(pd, pi)])
+    tables = make_tables(hmm)
+    logZ_s, post_s = posteriors_pallas_specialised(
+        tables, device_batch(batch)
+    )
+    logZ_c, post_c = posteriors_pallas_circ(tables, circ_device_batch(batch))
+    assert np.allclose(float(logZ_c[0]), float(logZ_s[0]), rtol=1e-5,
+                       atol=1e-4)
+    post = circ_to_rel(np.asarray(post_c), batch)
+    ok = batch.valid
+    assert np.allclose(post[ok], np.asarray(post_s)[ok], atol=1e-5)
+
+
+def test_circ_generic_branch_non_chain_model(rng):
+    """A flat-gap model whose transitions break the gap-chain pattern
+    exercises the circ kernels' generic (non-gap-chain) branch."""
+    import jax.numpy as jnp
+
+    from marginalign_trna_tpu.ops.fb_pallas import (
+        _flat_gap_consts, _gap_chain_consts, static_tables,
+    )
+
+    hmm, batch = _mixed_batch(rng)
+    tables = make_tables(hmm)
+    # Move some mass between gap states 1 and 2 (renormalise the rows).
+    T = np.asarray(tables.T).copy()
+    for s, t in ((1, 2), (2, 1)):
+        T[s, t] = 0.05
+    T = T / T.sum(axis=1, keepdims=True)
+    tables = tables._replace(T=jnp.asarray(T))
+    st = static_tables(tables)
+    assert _gap_chain_consts(st, _flat_gap_consts(st)) is None
+
+    ref = forward_backward(tables, device_batch(batch),
+                           want_posteriors=True)
+    logZ, post_c = posteriors_pallas_circ(tables, circ_device_batch(batch))
+    assert np.allclose(np.asarray(logZ)[:3], np.asarray(ref.logZ)[:3],
+                       rtol=1e-4, atol=1e-4)
+    post = circ_to_rel(np.asarray(post_c), batch)
+    ok = batch.valid
+    assert np.allclose(post[ok], np.asarray(ref.posteriors)[ok], atol=2e-4)
