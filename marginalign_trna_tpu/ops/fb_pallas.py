@@ -1849,6 +1849,321 @@ def _make_fwd_kernel_circ_post(st, gc):
     return kernel
 
 
+def _make_bwd_kernel_circ_lean(st, gc):
+    """Stream-diet twin of _make_bwd_kernel_circ_first: match emissions are
+    computed IN-KERNEL from the int8 code streams instead of reading a
+    precomputed f32 emission stream — per probe measurements the kernels
+    have large VPU headroom while HBM bytes are the scarce resource (the
+    em stream plus its XLA precompute pass cost ~11 f32-equivalent bytes
+    per cell; the code streams cost 2)."""
+    T = st[0]
+    ch = _gap_chain_consts(st, gc)
+    Em = _TableView.from_tuple(st[1])
+
+    def kernel(
+        valid_ref, xb_ref, yb_ref, fink_ref, find_ref,
+        bm_out_ref, bls_out_ref, zrow_ref,
+        b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
+        bls_ref, cprev_ref, eh1_ref, eh2_ref,
+    ):
+        b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
+        b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
+        i = pl.program_id(0)
+        K = STEP_BLOCK
+
+        @pl.when(i == 0)
+        def _init():
+            zero = jnp.zeros_like(b1_refs[0][:, :])
+            for s in range(_NSTATE):
+                b1_refs[s][:, :] = zero
+                b2_refs[s][:, :] = zero
+            bls_ref[:, :] = jnp.zeros_like(bls_ref)
+            cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+            eh1_ref[:, :] = zero
+            eh2_ref[:, :] = zero
+
+        b1 = [b1_refs[s][:, :] for s in range(_NSTATE)]
+        b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
+        bls = bls_ref[:, :]
+        cprev = cprev_ref[:, :]
+        e1 = eh1_ref[:, :]
+        e2 = eh2_ref[:, :]
+        fink = fink_ref[:, :]
+        find = find_ref[:, :]
+        kidx = jax.lax.broadcasted_iota(jnp.int32, b1[0].shape, 0)
+
+        blk_base = (pl.num_programs(0) - 1 - i) * K
+        for t in range(K):
+            kb = K - 1 - t
+            d = blk_base + kb
+
+            valid = valid_ref[kb].astype(jnp.float32)
+
+            q = [None] * _NSTATE
+            q[0] = _roll_up(e2 * b2[0])
+            if _bwd_divide_step(kb):
+                q[0] = q[0] / cprev
+            q[1] = b1[1]
+            q[3] = b1[3]
+            q[2] = _roll_up(b1[2])
+            q[4] = _roll_up(b1[4])
+
+            # Emission delay line, computed in-kernel and premasked (codes
+            # in invalid cells are arbitrary).
+            xb = xb_ref[kb].astype(jnp.int32)
+            yb = yb_ref[kb].astype(jnp.int32)
+            e_match_d, _ = _emissions(Em, None, xb, yb)
+            e2 = e1
+            e1 = e_match_d * valid
+
+            new = [None] * _NSTATE
+            if ch is not None:
+                sel_k = jnp.where(find == d, fink, -1)  # [1, B]
+                mask = kidx == sel_k
+                acc0 = T[0][0] * q[0]
+                for s in range(1, _NSTATE):
+                    acc0 = acc0 + ch.m0[s - 1] * q[s]
+                new[0] = jnp.where(mask, 1.0, acc0) * valid
+                for s in range(1, _NSTATE):
+                    accs = q[0] + ch.cb[s - 1] * q[s]
+                    new[s] = jnp.where(mask, ch.r[s - 1], accs) * valid
+            else:
+                inj = jnp.where((kidx == fink) & (d == find), 1.0, 0.0)
+                zero_arr = jnp.zeros_like(q[0])
+                for s in range(_NSTATE):
+                    acc = None
+                    for u in range(_NSTATE):
+                        v = T[s][u] * (1.0 if u == 0 else gc[u - 1])
+                        if v == 0.0:
+                            continue
+                        term = q[u] * v
+                        acc = term if acc is None else acc + term
+                    if acc is None:
+                        acc = zero_arr
+                    new[s] = (acc + inj) * valid
+
+            if _bwd_rescale_step(kb):
+                bmax = _max5(new).max(axis=0, keepdims=True)
+                c = jnp.where(bmax > 0, bmax, 1.0)
+                inv_c = 1.0 / c
+                bls = bls + jnp.log(c)
+                cprev = c
+                b_out = [new[s] * inv_c for s in range(_NSTATE)]
+            else:
+                b_out = new
+
+            bm_out_ref[kb] = b_out[0]
+            bls_out_ref[kb] = bls
+
+            b2 = b1
+            b1 = b_out
+
+        if ch is not None:
+            zr = b1[0][0:1]
+            for s in range(1, _NSTATE):
+                zr = zr + T[s][0] * b1[s][0:1]
+            zrow_ref[0] = 0.2 * zr
+        else:
+            zrow_ref[0] = 0.2 * (
+                b1[0][0:1] + b1[1][0:1] + b1[2][0:1] + b1[3][0:1]
+                + b1[4][0:1]
+            )
+
+        for s in range(_NSTATE):
+            b1_refs[s][:, :] = b1[s]
+            b2_refs[s][:, :] = b2[s]
+        bls_ref[:, :] = bls
+        cprev_ref[:, :] = cprev
+        eh1_ref[:, :] = e1
+        eh2_ref[:, :] = e2
+
+    return kernel
+
+
+def _make_fwd_kernel_circ_post_lean(st, gc):
+    """Stream-diet twin of _make_fwd_kernel_circ_post: emissions in-kernel
+    from the int8 code streams (see _make_bwd_kernel_circ_lean)."""
+    T = st[0]
+    ch = _gap_chain_consts(st, gc)
+    Em = _TableView.from_tuple(st[1])
+
+    def kernel(
+        xb_ref, yb_ref, valid_ref, bm_ref, bls_ref, logZ_ref,
+        post_ref,
+        f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
+        ls_ref, cprev_ref,
+    ):
+        f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
+        f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            zero = jnp.zeros_like(f1_refs[0][:, :])
+            row0 = jax.lax.broadcasted_iota(jnp.int32, zero.shape, 0) == 0
+            for s in range(_NSTATE):
+                pi_s = 0.2 if (ch is None or s == 0) else 0.2 / ch.k[s - 1]
+                f1_refs[s][:, :] = jnp.where(row0, pi_s, 0.0)
+                f2_refs[s][:, :] = zero
+            ls_ref[:, :] = jnp.zeros_like(ls_ref)
+            cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+
+        f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
+        f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
+        ls = ls_ref[:, :]
+        cprev = cprev_ref[:, :]
+        zero_arr = jnp.zeros_like(f1[0])
+        logZ = logZ_ref[:, :]
+
+        def mix(vals, t, coeff=1.0):
+            acc = None
+            for s in range(_NSTATE):
+                v = T[s][t] * coeff
+                if v == 0.0:
+                    continue
+                term = vals[s] * v
+                acc = term if acc is None else acc + term
+            return acc
+
+        def mix_match(vals):
+            if ch is None:
+                m = mix(vals, 0)
+                return m if m is not None else zero_arr
+            acc = T[0][0] * vals[0]
+            for s in range(1, _NSTATE):
+                acc = acc + ch.mcoef[s - 1] * vals[s]
+            return acc
+
+        for kb in range(STEP_BLOCK):
+            valid = valid_ref[kb].astype(jnp.float32)
+            xb = xb_ref[kb].astype(jnp.int32)
+            yb = yb_ref[kb].astype(jnp.int32)
+            em_raw, _ = _emissions(Em, None, xb, yb)
+            e_match = em_raw * valid
+
+            mix_m = mix_match(f2)
+            if _fwd_divide_step(kb):
+                mix_m = mix_m / cprev
+            if ch is not None:
+                mix_g = [f1[0] + ch.c[t - 1] * f1[t]
+                         for t in range(1, _NSTATE)]
+            else:
+                mix_g = [mix(f1, t, gc[t - 1]) for t in range(1, _NSTATE)]
+                mix_g = [m if m is not None else zero_arr for m in mix_g]
+
+            new = [None] * _NSTATE
+            new[0] = e_match * _roll_down(mix_m)
+            new[1] = mix_g[0] * valid
+            new[3] = mix_g[2] * valid
+            new[2] = _roll_down(mix_g[1]) * valid
+            new[4] = _roll_down(mix_g[3]) * valid
+
+            rescale = _fwd_rescale_step(kb)
+            if rescale:
+                fmax = _max5(new).max(axis=0, keepdims=True)
+                c = jnp.where(fmax > 0, fmax, 1.0)
+                inv_c = 1.0 / c
+                scaled = [new[s] * inv_c for s in range(_NSTATE)]
+            else:
+                scaled = new
+
+            if kb == 0:
+                is_first = i == 0
+                f1_next = [jnp.where(is_first, f1[s], scaled[s])
+                           for s in range(_NSTATE)]
+                f2_next = [jnp.where(is_first, f2[s], f1[s])
+                           for s in range(_NSTATE)]
+                if rescale:  # only when STEP_BLOCK == 1
+                    ls = jnp.where(is_first, ls, ls + jnp.log(c))
+                    cprev = jnp.where(is_first, cprev, c)
+            else:
+                f1_next = scaled
+                f2_next = f1
+                if rescale:
+                    ls = ls + jnp.log(c)
+                    cprev = c
+
+            alpha = jnp.exp(ls + bls_ref[kb] - logZ)  # [1, B]
+            post_ref[kb] = f1_next[0] * bm_ref[kb] * alpha
+            f1, f2 = f1_next, f2_next
+
+        for s in range(_NSTATE):
+            f1_refs[s][:, :] = f1[s]
+            f2_refs[s][:, :] = f2[s]
+        ls_ref[:, :] = ls
+        cprev_ref[:, :] = cprev
+
+    return kernel
+
+
+def _posteriors_circ_lean(st, gc, cdev):
+    """Backward-first FB over circular streams with in-kernel emissions:
+    no f32 emission stream and no precompute pass — the int8 code streams
+    feed both kernels directly."""
+    D1, Wp, B = cdev.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    valid = _pad_steps(cdev.valid.astype(jnp.int8), D1K)
+    xb = _pad_steps(cdev.xb, D1K)
+    yb = _pad_steps(cdev.yb, D1K)
+    fink = cdev.fink.astype(jnp.int32)[None, :]
+    find = cdev.final_d.astype(jnp.int32)[None, :]
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rev3 = pl.BlockSpec((K, Wp, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rev2 = pl.BlockSpec((K, 1, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    scratch = (
+        [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+        + [pltpu.VMEM((1, B), jnp.float32), pltpu.VMEM((1, B), jnp.float32)]
+    )
+    bwd_scratch = scratch + [
+        pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32),
+    ]
+    bm, bls2, zrow = pl.pallas_call(
+        _make_bwd_kernel_circ_lean(st, gc),
+        grid=(G,),
+        in_specs=[rev3, rev3, rev3, full, full],
+        out_specs=[rev3, rev2,
+                   pl.BlockSpec((1, 1, B), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, B), jnp.float32),
+        ],
+        scratch_shapes=bwd_scratch,
+        interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
+    )(valid, xb, yb, fink, find)
+
+    logZ = (
+        jnp.log(jnp.maximum(zrow[0, 0, :], 1e-30)) + bls2[0, 0, :]
+    )
+
+    post = pl.pallas_call(
+        _make_fwd_kernel_circ_post_lean(st, gc),
+        grid=(G,),
+        in_specs=[blk3, blk3, blk3, blk3, blk2, full],
+        out_specs=[blk3],
+        out_shape=[jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32)],
+        scratch_shapes=scratch,
+        interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
+    )(xb, yb, valid, bm, bls2, logZ[None, :])[0]
+    return logZ, post[:D1]
+
+
 def _posteriors_circ(st, gc, cdev):
     """Backward-first FB over circular-layout streams (no s1/s2 anywhere).
     Returns (logZ [B], posterior band [D1, Wp, B] in CIRCULAR layout —
@@ -1919,21 +2234,28 @@ def _posteriors_circ(st, gc, cdev):
     return logZ, post[:D1]
 
 
-@functools.partial(jax.jit, static_argnames=("st",))
-def _posteriors_circ_static(st, cdev):
+@functools.partial(jax.jit, static_argnames=("st", "lean"))
+def _posteriors_circ_static(st, cdev, lean=True):
     gc = _flat_gap_consts(st)
     assert gc is not None, "circular path needs flat gap emissions"
+    if lean:
+        return _posteriors_circ_lean(st, gc, cdev)
     return _posteriors_circ(st, gc, cdev)
 
 
-def posteriors_pallas_circ(tables: FbTables, cdev):
+def posteriors_pallas_circ(tables: FbTables, cdev, lean=None):
     """(logZ [B], posterior band in CIRCULAR layout) over a
     fb.CircDeviceBatch.  Model-specialised, flat-gap models (all
     shipped/normalised ones); band motion costs three unconditional
     single-row rotates per direction per step instead of six conditional
-    roll+select pairs."""
+    roll+select pairs.  lean=True (default; MARGINALIGN_CIRC_LEAN=0
+    overrides) computes emissions in-kernel from the int8 code streams
+    instead of streaming a precomputed f32 emission array."""
     check_uniform_pi(tables)
-    return _posteriors_circ_static(static_tables(tables), cdev)
+    if lean is None:
+        lean = __import__("os").environ.get(
+            "MARGINALIGN_CIRC_LEAN", "1") != "0"
+    return _posteriors_circ_static(static_tables(tables), cdev, lean)
 
 
 @functools.partial(jax.jit, static_argnames=("st",))

@@ -88,6 +88,19 @@ def test_circ_matches_specialised_with_moving_band(rng):
     assert np.allclose(post[ok], np.asarray(post_s)[ok], atol=1e-5)
 
 
+def test_circ_lean_matches_streamed(rng):
+    """The in-kernel-emission (lean) circ path computes exactly what the
+    emission-streamed circ path does."""
+    hmm, batch = _mixed_batch(rng)
+    tables = make_tables(hmm)
+    cdev = circ_device_batch(batch)
+    logZ_a, post_a = posteriors_pallas_circ(tables, cdev, lean=False)
+    logZ_b, post_b = posteriors_pallas_circ(tables, cdev, lean=True)
+    assert np.allclose(np.asarray(logZ_b)[:3], np.asarray(logZ_a)[:3],
+                       rtol=1e-6, atol=1e-6)
+    assert np.allclose(np.asarray(post_b), np.asarray(post_a), atol=1e-6)
+
+
 def test_circ_generic_branch_non_chain_model(rng):
     """A flat-gap model whose transitions break the gap-chain pattern
     exercises the circ kernels' generic (non-gap-chain) branch."""
