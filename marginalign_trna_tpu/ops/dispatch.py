@@ -82,7 +82,8 @@ def fb_counts_multi(tables: FbTables, mdev):
     )
 
     res = counts_pallas_multi(tables, mdev)
-    em = match_counts_from_posteriors_multi(res.posteriors, mdev)
+    em = (res.emit_match if res.emit_match is not None
+          else match_counts_from_posteriors_multi(res.posteriors, mdev))
     return res.logZ, res.trans_counts, em, res.emit_gap
 
 
@@ -95,7 +96,8 @@ def fb_counts(tables: FbTables, batch: DeviceBatch):
         )
 
         res = counts_pallas(tables, batch)
-        em = match_counts_from_posteriors(res.posteriors, batch)
+        em = (res.emit_match if res.emit_match is not None
+              else match_counts_from_posteriors(res.posteriors, batch))
         return res.logZ, res.trans_counts, em, res.emit_gap
     res = forward_backward(
         tables, batch, want_posteriors=False, want_counts=True
@@ -115,7 +117,9 @@ def fb_counts_trials(tables_stacked: FbTables, batch: DeviceBatch):
         )
 
         res = counts_pallas_trials(tables_stacked, batch)
-        em = match_counts_from_posteriors_trials(res.posteriors, batch)
+        em = (res.emit_match if res.emit_match is not None
+              else match_counts_from_posteriors_trials(
+                  res.posteriors, batch))
         return res.logZ, res.trans_counts, em, res.emit_gap
     res = jax.vmap(
         lambda t: forward_backward(
@@ -134,5 +138,7 @@ def fb_counts_multi_trials(tables_stacked: FbTables, mdev):
     )
 
     res = counts_pallas_multi_trials(tables_stacked, mdev)
-    em = match_counts_from_posteriors_multi_trials(res.posteriors, mdev)
+    em = (res.emit_match if res.emit_match is not None
+          else match_counts_from_posteriors_multi_trials(
+              res.posteriors, mdev))
     return res.logZ, res.trans_counts, em, res.emit_gap

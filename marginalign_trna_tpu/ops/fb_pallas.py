@@ -2248,13 +2248,16 @@ def posteriors_pallas_circ(tables: FbTables, cdev, lean=None):
     fb.CircDeviceBatch.  Model-specialised, flat-gap models (all
     shipped/normalised ones); band motion costs three unconditional
     single-row rotates per direction per step instead of six conditional
-    roll+select pairs.  lean=True (default; MARGINALIGN_CIRC_LEAN=0
-    overrides) computes emissions in-kernel from the int8 code streams
-    instead of streaming a precomputed f32 emission array."""
+    roll+select pairs (measured +9% vs the band-relative path on v5e).
+    lean=True (MARGINALIGN_CIRC_LEAN=1) computes emissions in-kernel from
+    the int8 code streams instead of streaming a precomputed f32 emission
+    array — measured SLOWER on v5e (the kernels are sequential-compute
+    bound, not bandwidth bound), so it defaults off; kept for cases where
+    HBM capacity matters."""
     check_uniform_pi(tables)
     if lean is None:
         lean = __import__("os").environ.get(
-            "MARGINALIGN_CIRC_LEAN", "1") != "0"
+            "MARGINALIGN_CIRC_LEAN", "0") == "1"
     return _posteriors_circ_static(static_tables(tables), cdev, lean)
 
 

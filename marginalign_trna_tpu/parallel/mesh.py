@@ -123,7 +123,10 @@ def make_em_train_step(mesh: Mesh):
 
             res = counts_pallas(tables, batch)
             tc_local = res.trans_counts
-            em_local = match_counts_from_posteriors(res.posteriors, batch)
+            em_local = (
+                res.emit_match if res.emit_match is not None
+                else match_counts_from_posteriors(res.posteriors, batch)
+            )
             eg_local = res.emit_gap
             logZ = res.logZ
         else:

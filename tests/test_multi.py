@@ -288,8 +288,14 @@ def test_trials_kernels_match_single_trial(rng):
         assert np.allclose(np.asarray(res_tr.trans_counts[tr]),
                            np.asarray(ref.trans_counts),
                            rtol=1e-3, atol=1e-3)
-        assert np.allclose(np.asarray(res_tr.posteriors[tr]),
-                           np.asarray(ref.posteriors), atol=2e-4)
+        # Default path is checkpoint-recompute: in-kernel match counts,
+        # no posterior band.
+        assert np.allclose(np.asarray(res_tr.emit_match[tr]),
+                           np.asarray(ref.emit_match),
+                           rtol=1e-3, atol=1e-3)
+        if res_tr.posteriors is not None and ref.posteriors is not None:
+            assert np.allclose(np.asarray(res_tr.posteriors[tr]),
+                               np.asarray(ref.posteriors), atol=2e-4)
 
     # Multi-problem lanes.
     mb = pack_multi_banded_batch(reads, refs, width=9, paths=paths,

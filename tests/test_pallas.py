@@ -78,8 +78,11 @@ def test_specialised_matches_dynamic(rng):
 
 
 def test_counts_pallas_matches_engine(rng):
+    """Both E-step kernels — the stored-forward path (posterior band +
+    host match reduction) and the default checkpoint-recompute path
+    (in-kernel match counts, no stored bands) — match the XLA engine."""
     from marginalign_trna_tpu.ops.fb_pallas_counts import (
-        counts_pallas, match_counts_from_posteriors,
+        _counts_ckpt_jit, _counts_pallas_jit, match_counts_from_posteriors,
     )
 
     hmm, batch = _mixed_batch(rng)
@@ -87,7 +90,8 @@ def test_counts_pallas_matches_engine(rng):
     dev = device_batch(batch)
     ref = forward_backward(tables, dev, want_posteriors=True,
                            want_counts=True)
-    res = counts_pallas(tables, dev)
+
+    res = _counts_pallas_jit(tables, dev)
     assert np.allclose(np.asarray(res.logZ)[:3], np.asarray(ref.logZ)[:3],
                        rtol=1e-4, atol=1e-4)
     assert np.allclose(np.asarray(res.posteriors),
@@ -99,6 +103,17 @@ def test_counts_pallas_matches_engine(rng):
     em = match_counts_from_posteriors(res.posteriors, dev)
     assert np.allclose(np.asarray(em), np.asarray(ref.emit_match),
                        rtol=1e-3, atol=1e-3)
+
+    ck = _counts_ckpt_jit(tables, dev)
+    assert ck.posteriors is None
+    assert np.allclose(np.asarray(ck.logZ)[:3], np.asarray(ref.logZ)[:3],
+                       rtol=1e-4, atol=1e-4)
+    assert np.allclose(np.asarray(ck.trans_counts),
+                       np.asarray(ref.trans_counts), rtol=1e-3, atol=1e-3)
+    assert np.allclose(np.asarray(ck.emit_gap),
+                       np.asarray(ref.emit_gap), rtol=1e-3, atol=1e-3)
+    assert np.allclose(np.asarray(ck.emit_match),
+                       np.asarray(ref.emit_match), rtol=1e-3, atol=1e-3)
 
 
 def test_nonuniform_pi_rejected(rng):
