@@ -30,6 +30,10 @@ from .chain import chain_sam_file
 # (src/margin/marginAlignLib.py:315).
 DEFAULT_BAND_WIDTH = 21
 
+# Reference realign-path --splitMatrixBiggerThanThis
+# (src/margin/marginAlignLib.py:316); 0 disables splitting.
+DEFAULT_SPLIT_SIZE = 3000
+
 
 @dataclass
 class RealignJob:
@@ -60,6 +64,113 @@ def _jobs_from_sam(
             )
         )
     return jobs
+
+
+def split_job_at_anchors(
+    job: RealignJob, split_size: int
+) -> List[RealignJob]:
+    """Decompose one alignment problem at guide-path anchor points so that
+    no sub-matrix side exceeds split_size; each segment realigns
+    independently, pinned through the anchor pair, and the segment results
+    concatenate in order.
+
+    Behavioural equivalent of cPecanRealign --splitMatrixBiggerThanThis=n
+    [reconstructed from the call sites: n=3000 realign
+    (src/margin/marginAlignLib.py:316), 300 EM (src/margin/marginAlign.py:41),
+    100 caller / 1 noMargin (src/margin/marginCallerLib.py:50,55)]: the
+    reference cuts large DP matrices into independent sub-problems at
+    confident anchor points of the guide alignment.  split_size <= 0
+    disables splitting (exact full-length DP)."""
+    m = len(job.read_region)
+    n = len(job.ref_region)
+    if split_size <= 0 or max(m, n) <= split_size or min(m, n) < 2:
+        return [job]
+    pd, pi = job.path
+    pj = pd - pi
+    D = m + n
+    k = -(-D // split_size)
+    if k < 2:
+        return [job]
+    # Cut points ON the guide path (anchors must be actual guide pairs):
+    # inside a match run the path is exactly diagonal, so any interior
+    # (i, j) is a guide pair; inside an indel run snap to the nearer
+    # vertex.  Cutting in d-space bounds every segment's m+n (hence both
+    # sides) by ~split_size.
+    keep = []
+    last_i, last_j = 0, 0
+    for c in range(1, k):
+        dt = int(round(c * D / k))
+        t = int(np.searchsorted(pd, dt, side="right")) - 1
+        t = min(max(t, 0), len(pd) - 2)
+        dd = int(pd[t + 1] - pd[t])
+        di = int(pi[t + 1] - pi[t])
+        if di > 0 and dd == 2 * di:
+            step = min(max((dt - int(pd[t])) // 2, 0), di)
+            ic = int(pi[t]) + step
+            jc = int(pj[t]) + step
+        elif dt - pd[t] <= pd[t + 1] - dt:
+            ic, jc = int(pi[t]), int(pj[t])
+        else:
+            ic, jc = int(pi[t + 1]), int(pj[t + 1])
+        if last_i < ic < m and last_j < jc < n:
+            keep.append((ic, jc))
+            last_i, last_j = ic, jc
+    bounds = [(0, 0)] + keep + [(m, n)]
+    if len(bounds) == 2:
+        return [job]
+
+    out = []
+    for (i0, j0), (i1, j1) in zip(bounds[:-1], bounds[1:]):
+        ms, ns = i1 - i0, j1 - j0
+        d0, d1 = i0 + j0, i1 + j1
+        sel = (pd > d0) & (pd < d1) & (pi >= i0) & (pi <= i1) \
+            & (pj >= j0) & (pj <= j1)
+        sub_d = np.concatenate([[0], pd[sel] - d0, [ms + ns]])
+        sub_i = np.concatenate([[0], pi[sel] - i0, [ms]])
+        # Keep strictly-increasing d (band_offsets interpolates vertices).
+        uniq = np.concatenate([[True], np.diff(sub_d) > 0])
+        out.append(
+            RealignJob(
+                record=job.record,
+                read_region=job.read_region[i0:i1],
+                ref_region=job.ref_region[j0:j1],
+                path=(sub_d[uniq], sub_i[uniq]),
+            )
+        )
+    return out
+
+
+def _merge_op_runs(ops: List[Tuple[int, int]]) -> List[Tuple[int, int]]:
+    """Merge adjacent same-op runs (segment concatenation seams)."""
+    out: List[Tuple[int, int]] = []
+    for op, ln in ops:
+        if out and out[-1][0] == op:
+            out[-1] = (op, out[-1][1] + ln)
+        else:
+            out.append((op, ln))
+    return out
+
+
+def split_jobs_at_anchors(
+    jobs: Sequence[RealignJob], split_size: int
+) -> Tuple[List[RealignJob], List[int], List[Tuple[int, int]]]:
+    """Explode jobs into anchor segments.  Returns (segments, origin,
+    seg_starts) where origin[s] = source job index (segments of one job
+    stay contiguous and ordered) and seg_starts[s] = (i0, j0) of the
+    segment inside its job's aligned region."""
+    segs: List[RealignJob] = []
+    origin: List[int] = []
+    starts: List[Tuple[int, int]] = []
+    for idx, job in enumerate(jobs):
+        pieces = split_job_at_anchors(job, split_size)
+        i0 = j0 = 0
+        for p in pieces:
+            segs.append(p)
+            origin.append(idx)
+            starts.append((i0, j0))
+            i0 += len(p.read_region)
+            j0 += len(p.ref_region)
+    return segs, origin, starts
 
 
 def _bucket_jobs(
@@ -123,8 +234,24 @@ def realigned_ops_for_jobs(
     match_gamma: float,
     band_width: int = DEFAULT_BAND_WIDTH,
     max_batch_cells: int = 12_000_000,
+    split_size: int = 0,
 ) -> List[List[Tuple[int, int]]]:
-    """Run FB + MEA for every job; returns realigned aligned-region ops."""
+    """Run FB + MEA for every job; returns realigned aligned-region ops.
+
+    split_size > 0 decomposes each problem at guide-path anchors
+    (split_job_at_anchors) and concatenates the per-segment cigars."""
+    if split_size and split_size > 0:
+        segs, origin, _ = split_jobs_at_anchors(jobs, split_size)
+        if len(segs) != len(jobs):
+            seg_ops = realigned_ops_for_jobs(
+                segs, hmm, gap_gamma, match_gamma, band_width,
+                max_batch_cells, split_size=0,
+            )
+            out: List[List[Tuple[int, int]]] = [[] for _ in jobs]
+            for s_idx, j_idx in enumerate(origin):
+                out[j_idx].extend(seg_ops[s_idx])
+            return [_merge_op_runs(ops) for ops in out]
+
     tables = make_tables(hmm)
     results: List[Optional[List[Tuple[int, int]]]] = [None] * len(jobs)
 
@@ -163,8 +290,20 @@ def realigned_ops_for_jobs(
         from ..parallel.runtime import with_retries
 
         def _run(b=batch):
-            _, post_dev = fb_posteriors(tables, device_batch(b))
-            return np.asarray(post_dev)
+            from ..ops.dispatch import make_fb_device_batch
+            from ..ops.fb import CircDeviceBatch
+
+            dev = make_fb_device_batch(b)
+            _, post_dev = fb_posteriors(tables, dev)
+            post_np = np.asarray(post_dev)
+            if isinstance(dev, CircDeviceBatch):
+                # Realign batches are small (<= max_batch_cells); the
+                # layout conversion is cheap host numpy, so the MEA
+                # decode path stays band-relative.
+                from ..ops.band import circ_to_rel
+
+                post_np = circ_to_rel(post_np, b)
+            return post_np
 
         post = with_retries(_run)
         ops_list = mea_decode(post, batch, gap_gamma, match_gamma)
@@ -214,6 +353,7 @@ def realign_sam_file(
     match_gamma: float = 0.0,
     no_chain: bool = False,
     band_width: int = DEFAULT_BAND_WIDTH,
+    split_size: int = DEFAULT_SPLIT_SIZE,
 ) -> None:
     """Chain (optional) + realign a SAM file end to end."""
     from ..utils.seq import encode
@@ -235,7 +375,7 @@ def realign_sam_file(
         ref_sequences = get_fasta_dictionary(reference_fasta_path)
         jobs = _jobs_from_sam(sam, ref_sequences, encode)
         all_ops = realigned_ops_for_jobs(jobs, hmm, gap_gamma, match_gamma,
-                                         band_width)
+                                         band_width, split_size=split_size)
         realigned = [
             splice_realigned_cigar(job.record, ops)
             for job, ops in zip(jobs, all_ops)

@@ -38,6 +38,9 @@ class CallerOptions:
     no_margin: bool = False
     band_width: int = CALLER_BAND_WIDTH
     max_batch_cells: int = 12_000_000
+    # Reference caller-path --splitMatrixBiggerThanThis=100
+    # (src/margin/marginCallerLib.py:55); 0 disables splitting.
+    split_size: int = 100
 
 
 def accumulate_expectations(
@@ -65,6 +68,17 @@ def accumulate_expectations(
         return expectations
 
     jobs = _jobs_from_sam(sam, ref_sequences, encode)
+    # Anchor splitting (reference --splitMatrixBiggerThanThis): segment
+    # offsets shift by the segment's ref start inside its job.
+    job_ref_off = [0] * len(jobs)
+    if options.split_size and options.split_size > 0:
+        from ..align.realign import split_jobs_at_anchors
+
+        segs, origin, seg_starts = split_jobs_at_anchors(
+            jobs, options.split_size
+        )
+        jobs = segs
+        job_ref_off = [st[1] for st in seg_starts]
     tables = make_tables(alignment_hmm)
 
     # Global coordinate space: all references concatenated, so one dense
@@ -99,7 +113,8 @@ def accumulate_expectations(
         )
         starts = np.array(
             [global_off[j.record.rname] + j.record.reference_start
-             for j in jobs], dtype=np.int64,
+             + job_ref_off[idx]
+             for idx, j in enumerate(jobs)], dtype=np.int64,
         )
 
         def _run_multi():
@@ -130,12 +145,23 @@ def accumulate_expectations(
         offsets = np.zeros(batch.batch, dtype=np.int64)
         for local_b, job_idx in enumerate(bucket):
             rec = jobs[job_idx].record
-            offsets[local_b] = global_off[rec.rname] + rec.reference_start
+            offsets[local_b] = (global_off[rec.rname] + rec.reference_start
+                                + job_ref_off[job_idx])
 
         def _run(b=batch, off=offsets, nb=len(bucket)):
             # The posterior band stays on device; only the [total, 4]
             # expectation tensor crosses to the host.
-            _, post_dev = fb_posteriors(tables, device_batch(b))
+            from ..ops.dispatch import make_fb_device_batch
+            from ..ops.fb import CircDeviceBatch
+
+            dev = make_fb_device_batch(b)
+            _, post_dev = fb_posteriors(tables, dev)
+            if isinstance(dev, CircDeviceBatch):
+                from ..ops.expectations import band_expectations_circ
+
+                return band_expectations_circ(
+                    post_dev, b, dev, off, total, n_real=nb
+                )
             return band_expectations(post_dev, b, off, total, n_real=nb)
 
         exp_global += with_retries(_run)

@@ -117,6 +117,10 @@ def margin_align_main(argv=None) -> int:
                    help="Also write the trained model as XML")
     p.add_argument("--maxAlignmentLengthPerJob", type=int, default=700_000,
                    help="Accepted for compatibility; batching is automatic")
+    p.add_argument("--splitMatrixBiggerThanThis", type=int, default=3000,
+                   help="Split DP problems at guide anchors so no side "
+                        "exceeds this (reference realign default 3000; "
+                        "0 = exact full-length DP)")
     _add_ignored_jobtree_options(p)
     args = p.parse_args(argv)
 
@@ -182,6 +186,7 @@ def margin_align_main(argv=None) -> int:
             args.referenceFastaFile, hmm,
             gap_gamma=args.gapGamma, match_gamma=args.matchGamma,
             no_chain=args.noChain,
+            split_size=args.splitMatrixBiggerThanThis,
         )
     return 0
 
@@ -207,6 +212,10 @@ def margin_caller_main(argv=None) -> int:
     p.add_argument("--threshold", type=float, default=0.3)
     p.add_argument("--maxAlignmentLengthPerJob", type=int, default=7_000_000,
                    help="Accepted for compatibility; batching is automatic")
+    p.add_argument("--splitMatrixBiggerThanThis", type=int, default=100,
+                   help="Split DP problems at guide anchors so no side "
+                        "exceeds this (reference caller default 100; "
+                        "0 = exact full-length DP)")
     _add_ignored_jobtree_options(p)
     args = p.parse_args(argv)
 
@@ -215,7 +224,8 @@ def margin_caller_main(argv=None) -> int:
         alignment_model=PairHmm.load(args.alignmentModel),
         error_model=PairHmm.load(args.errorModel),
         options=CallerOptions(threshold=args.threshold,
-                              no_margin=args.noMargin),
+                              no_margin=args.noMargin,
+                              split_size=args.splitMatrixBiggerThanThis),
     )
     return 0
 

@@ -299,21 +299,31 @@ def pack_multi_banded_batch(
     order = sorted(range(P), key=lambda p: -sizes[p])
     D1 = max(pad_steps_to, max(sizes) if sizes else 1)
 
-    # First-fit decreasing into lanes of capacity D1.
-    lane_used: List[int] = []
+    # Best-fit decreasing into lanes of capacity D1 (+SPACER: the trailing
+    # spacer is free).  A sorted (remaining, lane) list with bisect keeps
+    # this O(P log B) — the earlier first-fit scan was O(P x B), which is
+    # minutes of host time at the tens of thousands of problems produced
+    # by anchor splitting.
+    import bisect
+
+    cap = D1 + SPACER
+    free: List[Tuple[int, int]] = []  # (remaining, lane_idx), sorted
     assign: List[List[int]] = []
     for p in order:
         need = sizes[p] + SPACER
-        placed = False
-        for li in range(len(lane_used)):
-            if lane_used[li] + need <= D1 + SPACER:  # trailing spacer free
-                assign[li].append(p)
-                lane_used[li] += need
-                placed = True
-                break
-        if not placed:
+        k = bisect.bisect_left(free, (need, -1))
+        if k < len(free):
+            rem, li = free.pop(k)
+            assign[li].append(p)
+            rem -= need
+            if rem > 0:
+                bisect.insort(free, (rem, li))
+        else:
+            li = len(assign)
             assign.append([p])
-            lane_used.append(need)
+            rem = cap - need
+            if rem > 0:
+                bisect.insort(free, (rem, li))
     B0 = len(assign)
     B = pad_batch_to if pad_batch_to is not None else (
         1 << max(3, (B0 - 1).bit_length())

@@ -34,7 +34,7 @@ def use_circ() -> bool:
         return True
     if env == "rel":
         return False
-    return False  # TODO flip to use_pallas() once all consumers are circ-aware
+    return use_pallas()
 
 
 def make_fb_device_batch(batch):

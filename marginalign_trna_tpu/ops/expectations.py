@@ -27,7 +27,7 @@ is cheap host numpy (one searchsorted per lane).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -293,3 +293,127 @@ def multi_band_expectations(
         g0 = int(prob_ref_starts[p])
         exp_global[g0 : g0 + pr.n, :] += out[:, voff[p] : voff[p] + pr.n,
                                              pr.lane].T
+
+
+# --------------------- circular-layout (absolute rows) ---------------------
+#
+# In the circular band layout (band.circular_streams) a cell's row is
+# r = i mod Wp, so a REF position j walks diagonally through rows
+# (r = (d - j) mod Wp).  One "shear" pass re-indexes to u = (r - d) mod Wp,
+# where j is row-stable (u = -j mod Wp); because the shift d mod Wp cycles
+# with period Wp, grouping d into aligned blocks of Wp makes every shift a
+# STATIC roll (Wp rolls over 1/Wp of the array each - one extra pass).
+# Each position's contribution is then cumsum + TWO gathers (vs one gather
+# per band row in the band-relative path).
+
+
+def _shear_to_j_rows(a):
+    """[D1, Wp, B] circ (i-rows) -> [D1p, Wp, B] with j-stable rows
+    (u = (r - d) mod Wp), D1p = D1 rounded up to a multiple of Wp."""
+    D1, Wp, B = a.shape
+    D1p = _round_up(D1, Wp)
+    if D1p != D1:
+        a = jnp.pad(a, [(0, D1p - D1), (0, 0), (0, 0)])
+    g = a.reshape(D1p // Wp, Wp, Wp, B)
+    out = jnp.stack(
+        [jnp.roll(g[:, t], -t, axis=1) for t in range(Wp)], axis=1
+    )
+    return out.reshape(D1p, Wp, B)
+
+
+@partial(jax.jit, static_argnames=("rg",))
+def _expectations_circ_device(post, valid, yb, lo, ia, ib, rg: int):
+    """[rg, 4] expected base counts from a CIRCULAR-layout posterior band.
+
+    ia/ib [rg, B] int32: flattened (d_index * Wp + u_row) cumsum gather
+    indices per global ref position (host-precomputed, see
+    circ_run_boundaries); positions outside a lane's window have ia == ib.
+    """
+    D1, Wp, B = post.shape
+    r = jax.lax.broadcasted_iota(jnp.int32, (1, Wp, 1), 1)
+    lo3 = lo[:, None, :].astype(jnp.int32)
+    t = jnp.remainder(r - lo3, Wp)
+    i = lo3 + t
+    d3 = jax.lax.broadcasted_iota(jnp.int32, (D1, 1, 1), 0)
+    j = d3 - i
+    ok = valid & (i >= 1) & (j >= 1)
+
+    pm = _shear_to_j_rows(jnp.where(ok, post, 0.0))
+    ybs = _shear_to_j_rows(yb.astype(jnp.int8))
+    D1p = pm.shape[0]
+
+    def per_code(c):
+        wc = jnp.where(ybs == c, pm, 0.0)
+        sp = jnp.concatenate(
+            [jnp.zeros((1, Wp, B), post.dtype), jnp.cumsum(wc, axis=0)],
+            axis=0,
+        ).reshape((D1p + 1) * Wp, B)
+        ga = jnp.take_along_axis(sp, ia, axis=0)
+        gb = jnp.take_along_axis(sp, ib, axis=0)
+        return (gb - ga).sum(axis=1)
+
+    out = jax.lax.map(per_code, jnp.arange(4, dtype=jnp.int8))
+    return out.T
+
+
+def circ_run_boundaries(
+    batch: BandedBatch, ref_offsets: np.ndarray, rg: int, n_real: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(ia, ib) [rg, B] int32 flattened cumsum gather indices for
+    _expectations_circ_device.
+
+    For global position v on lane b with window start off: local
+    j = v - off + 1, row u = (-j) mod Wp, d-run = {d : d - lo(d) in
+    [j, j + width - 1]} delimited by E1'[x] = #{d : d - lo(d) <= x}."""
+    D1 = batch.num_steps
+    Wp = batch.wp
+    W = batch.width
+    B = batch.batch
+    D1p = -(-D1 // Wp) * Wp
+    row_stride = Wp
+    ia = np.zeros((rg, B), dtype=np.int32)
+    ib = np.zeros((rg, B), dtype=np.int32)
+    base = np.arange(D1, dtype=np.int64)
+    vs = np.arange(rg, dtype=np.int64)
+    for b in range(n_real):
+        gu = base - batch.lo[:, b].astype(np.int64)  # local, monotone 0/1
+        n = int(batch.n[b])
+        off = int(ref_offsets[b])
+        j = vs - off + 1
+        inside = (j >= 1) & (j <= n)
+        jc = np.clip(j, 1, max(n, 1))
+        e_lo = np.searchsorted(gu, jc - 1, side="right")
+        e_hi = np.searchsorted(gu, jc + W - 1, side="right")
+        u = (-jc) % Wp
+        ia_b = (e_lo * row_stride + u).astype(np.int64)
+        ib_b = (e_hi * row_stride + u).astype(np.int64)
+        ia[:, b] = np.where(inside, ia_b, 0)
+        ib[:, b] = np.where(inside, ib_b, 0)
+    assert (D1p + 1) * Wp < np.iinfo(np.int32).max
+    return ia, ib
+
+
+def band_expectations_circ(
+    post_c,
+    batch: BandedBatch,
+    cdev,
+    ref_offsets: np.ndarray,
+    total_ref_len: int,
+    n_real: Optional[int] = None,
+) -> np.ndarray:
+    """[total_ref_len, 4] expected base counts from a CIRCULAR-layout
+    posterior batch (the fb.CircDeviceBatch used to produce it supplies
+    the matching yb/valid streams; post_c may stay on device)."""
+    n_real = batch.batch if n_real is None else n_real
+    rg = _round_up(max(total_ref_len, 1), 512)
+    ia, ib = circ_run_boundaries(batch, ref_offsets, rg, n_real)
+    out = _expectations_circ_device(
+        jnp.asarray(post_c),
+        cdev.valid,
+        cdev.yb,
+        jnp.asarray(batch.lo),
+        jnp.asarray(ia),
+        jnp.asarray(ib),
+        rg=rg,
+    )
+    return np.asarray(out)[:total_ref_len]

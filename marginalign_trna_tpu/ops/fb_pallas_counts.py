@@ -374,6 +374,7 @@ def _counts_pallas_jit(tables: FbTables, batch: DeviceBatch) -> CountsResult:
                pltpu.VMEM((1, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
+        compiler_params=_counts_compiler_params(),
     )(xb, yb, valid, s1, fink, tables.T, tables.Ematch, tables.Egap)
 
     lsf = lsf2[:, 0, :]
@@ -419,6 +420,7 @@ def _counts_pallas_jit(tables: FbTables, batch: DeviceBatch) -> CountsResult:
             + [pltpu.VMEM((2, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
+        compiler_params=_counts_compiler_params(),
     )(
         f_all,
         lsf2,
@@ -776,6 +778,7 @@ def _counts_pallas_multi_jit(tables: FbTables, mdev) -> CountsResult:
                pltpu.VMEM((1, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
+        compiler_params=_counts_compiler_params(),
     )(xb, yb, valid, s1, fink, start,
       tables.T, tables.Ematch, tables.Egap)
 
@@ -827,6 +830,7 @@ def _counts_pallas_multi_jit(tables: FbTables, mdev) -> CountsResult:
             + [pltpu.VMEM((2, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
+        compiler_params=_counts_compiler_params(),
     )(
         f_all,
         lsf2,
@@ -934,6 +938,7 @@ def _counts_pallas_trials_jit(
                pltpu.VMEM((1, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
+        compiler_params=_counts_compiler_params(),
     )(xb, yb, valid, s1, fink, tables.T, tables.Ematch, tables.Egap)
 
     lsf = lsf2.reshape(Ntr, D1K, B)
@@ -992,6 +997,7 @@ def _counts_pallas_trials_jit(
             + [pltpu.VMEM((2, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
+        compiler_params=_counts_compiler_params(),
     )(
         f_all,
         lsf2,
@@ -1100,6 +1106,7 @@ def _counts_pallas_multi_trials_jit(tables: FbTables, mdev) -> CountsResult:
                pltpu.VMEM((1, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
+        compiler_params=_counts_compiler_params(),
     )(xb, yb, valid, s1, fink, start,
       tables.T, tables.Ematch, tables.Egap)
 
@@ -1165,6 +1172,7 @@ def _counts_pallas_multi_trials_jit(tables: FbTables, mdev) -> CountsResult:
             + [pltpu.VMEM((2, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
+        compiler_params=_counts_compiler_params(),
     )(
         f_all,
         lsf2,
@@ -1648,6 +1656,7 @@ def _counts_ckpt_jit(tables: FbTables, batch: DeviceBatch) -> CountsResult:
                pltpu.VMEM((1, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
+        compiler_params=_counts_compiler_params(),
     )(xb, yb, valid, s1, fink, tables.T, tables.Ematch, tables.Egap)
 
     lsf = lsf2[:, 0, :]
@@ -1703,7 +1712,7 @@ def _counts_ckpt_jit(tables: FbTables, batch: DeviceBatch) -> CountsResult:
                pltpu.VMEM((K, 1, B), jnp.float32)]
         ),
         interpret=_use_interpret(),
-        compiler_params=_ckpt_compiler_params(),
+        compiler_params=_counts_compiler_params(),
     )(
         ckpt, cs,
         valid, xb, yb,
@@ -1723,10 +1732,11 @@ def _counts_ckpt_jit(tables: FbTables, batch: DeviceBatch) -> CountsResult:
     )
 
 
-def _ckpt_compiler_params():
-    """The recompute scratch (fs: K x 5 state buffers) plus the stream
-    double-buffers need more scoped VMEM than the default budget at wide
-    batches."""
+def _counts_compiler_params():
+    """Scoped-VMEM budget for every counts kernel: the stored-forward
+    kernels' f_all blocks and the checkpoint kernels' recompute scratch
+    (fs: K x 5 state buffers) both exceed the 16MB compiler default at
+    wide batches (first seen as a compile failure at B=2048 multi)."""
     from .fb_pallas import _compiler_params
 
     return _compiler_params()
@@ -1783,6 +1793,7 @@ def _counts_ckpt_trials_jit(
                pltpu.VMEM((1, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
+        compiler_params=_counts_compiler_params(),
     )(xb, yb, valid, s1, fink, tables.T, tables.Ematch, tables.Egap)
 
     lsf = lsf2.reshape(Ntr, D1K, B)
@@ -1841,7 +1852,7 @@ def _counts_ckpt_trials_jit(
                pltpu.VMEM((K, 1, B), jnp.float32)]
         ),
         interpret=_use_interpret(),
-        compiler_params=_ckpt_compiler_params(),
+        compiler_params=_counts_compiler_params(),
     )(
         ckpt, cs,
         valid, xb, yb,
@@ -2244,6 +2255,7 @@ def _counts_ckpt_multi_jit(tables: FbTables, mdev) -> CountsResult:
                pltpu.VMEM((1, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
+        compiler_params=_counts_compiler_params(),
     )(xb, yb, valid, s1, fink, start,
       tables.T, tables.Ematch, tables.Egap)
 
@@ -2305,7 +2317,7 @@ def _counts_ckpt_multi_jit(tables: FbTables, mdev) -> CountsResult:
                pltpu.VMEM((K, 1, B), jnp.float32)]
         ),
         interpret=_use_interpret(),
-        compiler_params=_ckpt_compiler_params(),
+        compiler_params=_counts_compiler_params(),
     )(
         ckpt, cs,
         valid, xb, yb,
@@ -2376,6 +2388,7 @@ def _counts_ckpt_multi_trials_jit(tables: FbTables, mdev) -> CountsResult:
                pltpu.VMEM((1, B), jnp.int32)]
         ),
         interpret=_use_interpret(),
+        compiler_params=_counts_compiler_params(),
     )(xb, yb, valid, s1, fink, start,
       tables.T, tables.Ematch, tables.Egap)
 
@@ -2445,7 +2458,7 @@ def _counts_ckpt_multi_trials_jit(tables: FbTables, mdev) -> CountsResult:
                pltpu.VMEM((K, 1, B), jnp.float32)]
         ),
         interpret=_use_interpret(),
-        compiler_params=_ckpt_compiler_params(),
+        compiler_params=_counts_compiler_params(),
     )(
         ckpt, cs,
         valid, xb, yb,

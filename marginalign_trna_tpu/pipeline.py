@@ -47,6 +47,9 @@ class AlignOptions:
     output_model_path: Optional[str] = None
     em_options: EmOptions = field(default_factory=EmOptions)
     em_checkpoint_path: Optional[str] = None
+    # Reference realign-path --splitMatrixBiggerThanThis
+    # (src/margin/marginAlignLib.py:316); 0 = exact full-length DP.
+    split_size: int = 3000
 
 
 def align(
@@ -102,6 +105,7 @@ def align(
             reference_fasta_path, hmm,
             gap_gamma=options.gap_gamma, match_gamma=options.match_gamma,
             no_chain=options.no_chain,
+            split_size=options.split_size,
         )
     return trained
 
