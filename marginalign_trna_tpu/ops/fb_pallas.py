@@ -82,14 +82,17 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def _compiler_params():
+def _compiler_params(min_mb: int = 0):
     """Scoped-VMEM budget (MARGINALIGN_VMEM_LIMIT_MB, default 32).  The
     16MB compiler default is exceeded at wide batches (B >= 4096 lanes)
     now that the backward kernels carry emission/shift delay lines in
     scratch; v5e has 128MB of VMEM, so 32MB scoped is still conservative.
-    Larger STEP_BLOCKs need more again for their double-buffered streams."""
-    mb = __import__("os").environ.get("MARGINALIGN_VMEM_LIMIT_MB", "32")
-    return pltpu.CompilerParams(vmem_limit_bytes=int(mb) * 1024 * 1024)
+    Larger STEP_BLOCKs need more again for their double-buffered streams;
+    callers with known-larger footprints pass a floor via min_mb."""
+    mb = int(__import__("os").environ.get("MARGINALIGN_VMEM_LIMIT_MB", "32"))
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=max(mb, min_mb) * 1024 * 1024
+    )
 
 
 def _roll_up(a):
@@ -2234,31 +2237,507 @@ def _posteriors_circ(st, gc, cdev):
     return logZ, post[:D1]
 
 
-@functools.partial(jax.jit, static_argnames=("st", "lean"))
-def _posteriors_circ_static(st, cdev, lean=True):
+# --------- checkpoint-recompute serving (no stored backward band) ---------
+#
+# The stored serving path writes the backward match band and re-reads it in
+# the posterior pass (8 B/cell of HBM traffic), and the limiter probes show
+# the serving kernels are stream-bound with large VPU headroom
+# (docs/KERNELS.md).  Like the EM ckpt kernels (fb_pallas_counts.py), the
+# backward here emits only its per-block ENTERING frontier (b1 x5, b2 x5,
+# the two emission-delay rows, and the bls/cprev scale rows: 48/K B/cell
+# per direction), and the posterior pass recomputes each block's backward
+# into VMEM scratch before running the forward against it — bit-identical
+# to the stored path since the recompute replays the same ops from the
+# same state.  K (MARGINALIGN_CKPT_BLOCK, default 32) is larger than the
+# serving STEP_BLOCK because the checkpoint cost scales as 1/K.
+
+_CKPT_BLOCK = int(
+    __import__("os").environ.get("MARGINALIGN_CKPT_BLOCK", "32")
+)
+
+
+def _ckpt_bwd_rescale(kb: int) -> bool:
+    return kb % _RESCALE_PERIOD == 0
+
+
+def _ckpt_bwd_divide(kb: int, K: int) -> bool:
+    return (kb + 1) % _RESCALE_PERIOD == 0 or kb == K - 1
+
+
+def _ckpt_fwd_rescale(kb: int, K: int) -> bool:
+    return kb % _RESCALE_PERIOD == _RESCALE_PERIOD - 1 or kb == K - 1
+
+
+def _ckpt_fwd_divide(kb: int) -> bool:
+    return kb % _RESCALE_PERIOD == 0
+
+
+def _make_bwd_kernel_circ_ckpt(st, gc, K, lean):
+    """Checkpointing twin of _make_bwd_kernel_circ_{first,lean}: same
+    backward recurrence (lean=True computes emissions in-kernel from the
+    int8 code streams; lean=False reads the precomputed f32 emission
+    stream, which measured faster on v5e — int8 compare/relayout costs
+    more than the stream saves), but the only per-block outputs are the
+    entering frontier checkpoint (ckpt [1, 12, Wp, B] = b1 x5, b2 x5,
+    e1, e2; cs [1, 2, B] = bls, cprev) plus the logZ terms (zrow, final
+    bls)."""
+    T = st[0]
+    ch = _gap_chain_consts(st, gc)
+    Em = _TableView.from_tuple(st[1])
+
+    def kernel(*refs):
+        if lean:
+            (valid_ref, xb_ref, yb_ref, fink_ref, find_ref,
+             ckpt_ref, cs_ref, zrow_ref, blsf_ref,
+             b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
+             bls_ref, cprev_ref, eh1_ref, eh2_ref) = refs
+        else:
+            (valid_ref, em_ref, fink_ref, find_ref,
+             ckpt_ref, cs_ref, zrow_ref, blsf_ref,
+             b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
+             bls_ref, cprev_ref, eh1_ref, eh2_ref) = refs
+        b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
+        b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            zero = jnp.zeros_like(b1_refs[0][:, :])
+            for s in range(_NSTATE):
+                b1_refs[s][:, :] = zero
+                b2_refs[s][:, :] = zero
+            bls_ref[:, :] = jnp.zeros_like(bls_ref)
+            cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+            eh1_ref[:, :] = zero
+            eh2_ref[:, :] = zero
+
+        # The ENTERING state of this block is the checkpoint the posterior
+        # pass restarts its recompute from (all-zero for the last block,
+        # written right after _init).
+        for s in range(_NSTATE):
+            ckpt_ref[0, s] = b1_refs[s][:, :]
+            ckpt_ref[0, 5 + s] = b2_refs[s][:, :]
+        ckpt_ref[0, 10] = eh1_ref[:, :]
+        ckpt_ref[0, 11] = eh2_ref[:, :]
+        cs_ref[0, 0:1] = bls_ref[:, :]
+        cs_ref[0, 1:2] = cprev_ref[:, :]
+
+        b1 = [b1_refs[s][:, :] for s in range(_NSTATE)]
+        b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
+        bls = bls_ref[:, :]
+        cprev = cprev_ref[:, :]
+        e1 = eh1_ref[:, :]
+        e2 = eh2_ref[:, :]
+        fink = fink_ref[:, :]
+        find = find_ref[:, :]
+        kidx = jax.lax.broadcasted_iota(jnp.int32, b1[0].shape, 0)
+
+        blk_base = (pl.num_programs(0) - 1 - i) * K
+        for t in range(K):
+            kb = K - 1 - t
+            d = blk_base + kb
+
+            valid = valid_ref[kb].astype(jnp.float32)
+
+            q = [None] * _NSTATE
+            q[0] = _roll_up(e2 * b2[0])
+            if _ckpt_bwd_divide(kb, K):
+                q[0] = q[0] / cprev
+            q[1] = b1[1]
+            q[3] = b1[3]
+            q[2] = _roll_up(b1[2])
+            q[4] = _roll_up(b1[4])
+
+            e2 = e1
+            if lean:
+                xb = xb_ref[kb].astype(jnp.int32)
+                yb = yb_ref[kb].astype(jnp.int32)
+                e_match_d, _ = _emissions(Em, None, xb, yb)
+                e1 = e_match_d * valid
+            else:
+                e1 = em_ref[kb]  # premasked by the precompute pass
+
+            new = [None] * _NSTATE
+            if ch is not None:
+                sel_k = jnp.where(find == d, fink, -1)  # [1, B]
+                mask = kidx == sel_k
+                acc0 = T[0][0] * q[0]
+                for s in range(1, _NSTATE):
+                    acc0 = acc0 + ch.m0[s - 1] * q[s]
+                new[0] = jnp.where(mask, 1.0, acc0) * valid
+                for s in range(1, _NSTATE):
+                    accs = q[0] + ch.cb[s - 1] * q[s]
+                    new[s] = jnp.where(mask, ch.r[s - 1], accs) * valid
+            else:
+                inj = jnp.where((kidx == fink) & (d == find), 1.0, 0.0)
+                zero_arr = jnp.zeros_like(q[0])
+                for s in range(_NSTATE):
+                    acc = None
+                    for u in range(_NSTATE):
+                        v = T[s][u] * (1.0 if u == 0 else gc[u - 1])
+                        if v == 0.0:
+                            continue
+                        term = q[u] * v
+                        acc = term if acc is None else acc + term
+                    if acc is None:
+                        acc = zero_arr
+                    new[s] = (acc + inj) * valid
+
+            if _ckpt_bwd_rescale(kb):
+                bmax = _max5(new).max(axis=0, keepdims=True)
+                c = jnp.where(bmax > 0, bmax, 1.0)
+                inv_c = 1.0 / c
+                bls = bls + jnp.log(c)
+                cprev = c
+                b_out = [new[s] * inv_c for s in range(_NSTATE)]
+            else:
+                b_out = new
+
+            b2 = b1
+            b1 = b_out
+
+        if ch is not None:
+            zr = b1[0][0:1]
+            for s in range(1, _NSTATE):
+                zr = zr + T[s][0] * b1[s][0:1]
+            zrow_ref[0] = 0.2 * zr
+        else:
+            zrow_ref[0] = 0.2 * (
+                b1[0][0:1] + b1[1][0:1] + b1[2][0:1] + b1[3][0:1]
+                + b1[4][0:1]
+            )
+        blsf_ref[0] = bls
+
+        for s in range(_NSTATE):
+            b1_refs[s][:, :] = b1[s]
+            b2_refs[s][:, :] = b2[s]
+        bls_ref[:, :] = bls
+        cprev_ref[:, :] = cprev
+        eh1_ref[:, :] = e1
+        eh2_ref[:, :] = e2
+
+    return kernel
+
+
+def _make_fwd_kernel_circ_ckpt(st, gc, K, lean):
+    """Posterior pass of the checkpoint-recompute serving path: loads the
+    block's entering backward frontier, replays the block's backward into
+    bm/bls VMEM scratch (bit-identical to _make_bwd_kernel_circ_ckpt),
+    then runs the forward and emits normalised posteriors like
+    _make_fwd_kernel_circ_post{,_lean}."""
+    T = st[0]
+    ch = _gap_chain_consts(st, gc)
+    Em = _TableView.from_tuple(st[1])
+
+    def kernel(*refs):
+        if lean:
+            (xb_ref, yb_ref, valid_ref, ckpt_ref, cs_ref,
+             fink_ref, find_ref, logZ_ref,
+             post_ref,
+             f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
+             ls_ref, cprev_ref, bm_s, bls_s) = refs
+        else:
+            (em_ref, valid_ref, ckpt_ref, cs_ref,
+             fink_ref, find_ref, logZ_ref,
+             post_ref,
+             f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
+             ls_ref, cprev_ref, bm_s, bls_s) = refs
+        f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
+        f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
+        i = pl.program_id(0)
+
+        # ---- backward recompute (descending kb) from the checkpoint ----
+        b1 = [ckpt_ref[0, s] for s in range(_NSTATE)]
+        b2 = [ckpt_ref[0, 5 + s] for s in range(_NSTATE)]
+        e1 = ckpt_ref[0, 10]
+        e2 = ckpt_ref[0, 11]
+        bls = cs_ref[0, 0:1]
+        cprevB = cs_ref[0, 1:2]
+        fink = fink_ref[:, :]
+        find = find_ref[:, :]
+        kidx = jax.lax.broadcasted_iota(jnp.int32, b1[0].shape, 0)
+        blk_base = i * K
+
+        for t in range(K):
+            kb = K - 1 - t
+            d = blk_base + kb
+
+            valid = valid_ref[kb].astype(jnp.float32)
+
+            q = [None] * _NSTATE
+            q[0] = _roll_up(e2 * b2[0])
+            if _ckpt_bwd_divide(kb, K):
+                q[0] = q[0] / cprevB
+            q[1] = b1[1]
+            q[3] = b1[3]
+            q[2] = _roll_up(b1[2])
+            q[4] = _roll_up(b1[4])
+
+            e2 = e1
+            if lean:
+                xb = xb_ref[kb].astype(jnp.int32)
+                yb = yb_ref[kb].astype(jnp.int32)
+                e_match_d, _ = _emissions(Em, None, xb, yb)
+                e1 = e_match_d * valid
+            else:
+                e1 = em_ref[kb]
+
+            new = [None] * _NSTATE
+            if ch is not None:
+                sel_k = jnp.where(find == d, fink, -1)
+                mask = kidx == sel_k
+                acc0 = T[0][0] * q[0]
+                for s in range(1, _NSTATE):
+                    acc0 = acc0 + ch.m0[s - 1] * q[s]
+                new[0] = jnp.where(mask, 1.0, acc0) * valid
+                for s in range(1, _NSTATE):
+                    accs = q[0] + ch.cb[s - 1] * q[s]
+                    new[s] = jnp.where(mask, ch.r[s - 1], accs) * valid
+            else:
+                inj = jnp.where((kidx == fink) & (d == find), 1.0, 0.0)
+                zero_arr = jnp.zeros_like(q[0])
+                for s in range(_NSTATE):
+                    acc = None
+                    for u in range(_NSTATE):
+                        v = T[s][u] * (1.0 if u == 0 else gc[u - 1])
+                        if v == 0.0:
+                            continue
+                        term = q[u] * v
+                        acc = term if acc is None else acc + term
+                    if acc is None:
+                        acc = zero_arr
+                    new[s] = (acc + inj) * valid
+
+            if _ckpt_bwd_rescale(kb):
+                bmax = _max5(new).max(axis=0, keepdims=True)
+                c = jnp.where(bmax > 0, bmax, 1.0)
+                inv_c = 1.0 / c
+                bls = bls + jnp.log(c)
+                cprevB = c
+                b_out = [new[s] * inv_c for s in range(_NSTATE)]
+            else:
+                b_out = new
+
+            bm_s[kb] = b_out[0]
+            bls_s[kb] = bls
+
+            b2 = b1
+            b1 = b_out
+
+        # ---- forward + posterior (ascending kb) -------------------------
+        @pl.when(i == 0)
+        def _init():
+            zero = jnp.zeros_like(f1_refs[0][:, :])
+            row0 = jax.lax.broadcasted_iota(jnp.int32, zero.shape, 0) == 0
+            for s in range(_NSTATE):
+                pi_s = 0.2 if (ch is None or s == 0) else 0.2 / ch.k[s - 1]
+                f1_refs[s][:, :] = jnp.where(row0, pi_s, 0.0)
+                f2_refs[s][:, :] = zero
+            ls_ref[:, :] = jnp.zeros_like(ls_ref)
+            cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+
+        f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
+        f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
+        ls = ls_ref[:, :]
+        cprev = cprev_ref[:, :]
+        zero_arr = jnp.zeros_like(f1[0])
+        logZ = logZ_ref[:, :]
+
+        def mix(vals, t, coeff=1.0):
+            acc = None
+            for s in range(_NSTATE):
+                v = T[s][t] * coeff
+                if v == 0.0:
+                    continue
+                term = vals[s] * v
+                acc = term if acc is None else acc + term
+            return acc
+
+        def mix_match(vals):
+            if ch is None:
+                m = mix(vals, 0)
+                return m if m is not None else zero_arr
+            acc = T[0][0] * vals[0]
+            for s in range(1, _NSTATE):
+                acc = acc + ch.mcoef[s - 1] * vals[s]
+            return acc
+
+        for kb in range(K):
+            valid = valid_ref[kb].astype(jnp.float32)
+            if lean:
+                xb = xb_ref[kb].astype(jnp.int32)
+                yb = yb_ref[kb].astype(jnp.int32)
+                em_raw, _ = _emissions(Em, None, xb, yb)
+                e_match = em_raw * valid
+            else:
+                e_match = em_ref[kb]
+
+            mix_m = mix_match(f2)
+            if _ckpt_fwd_divide(kb):
+                mix_m = mix_m / cprev
+            if ch is not None:
+                mix_g = [f1[0] + ch.c[t - 1] * f1[t]
+                         for t in range(1, _NSTATE)]
+            else:
+                mix_g = [mix(f1, t, gc[t - 1]) for t in range(1, _NSTATE)]
+                mix_g = [m if m is not None else zero_arr for m in mix_g]
+
+            new = [None] * _NSTATE
+            new[0] = e_match * _roll_down(mix_m)
+            new[1] = mix_g[0] * valid
+            new[3] = mix_g[2] * valid
+            new[2] = _roll_down(mix_g[1]) * valid
+            new[4] = _roll_down(mix_g[3]) * valid
+
+            rescale = _ckpt_fwd_rescale(kb, K)
+            if rescale:
+                fmax = _max5(new).max(axis=0, keepdims=True)
+                c = jnp.where(fmax > 0, fmax, 1.0)
+                inv_c = 1.0 / c
+                scaled = [new[s] * inv_c for s in range(_NSTATE)]
+            else:
+                scaled = new
+
+            if kb == 0:
+                is_first = i == 0
+                f1_next = [jnp.where(is_first, f1[s], scaled[s])
+                           for s in range(_NSTATE)]
+                f2_next = [jnp.where(is_first, f2[s], f1[s])
+                           for s in range(_NSTATE)]
+                if rescale:  # only when K == 1
+                    ls = jnp.where(is_first, ls, ls + jnp.log(c))
+                    cprev = jnp.where(is_first, cprev, c)
+            else:
+                f1_next = scaled
+                f2_next = f1
+                if rescale:
+                    ls = ls + jnp.log(c)
+                    cprev = c
+
+            alpha = jnp.exp(ls + bls_s[kb] - logZ)  # [1, B]
+            post_ref[kb] = f1_next[0] * bm_s[kb] * alpha
+            f1, f2 = f1_next, f2_next
+
+        for s in range(_NSTATE):
+            f1_refs[s][:, :] = f1[s]
+            f2_refs[s][:, :] = f2[s]
+        ls_ref[:, :] = ls
+        cprev_ref[:, :] = cprev
+
+    return kernel
+
+
+def _posteriors_circ_ckpt(st, gc, cdev):
+    """Checkpoint-recompute serving FB over circular streams: the backward
+    band is never materialised in HBM — only 48/K B/cell of frontier
+    checkpoints cross between the passes (vs 8 B/cell stored bm)."""
+    D1, Wp, B = cdev.xb.shape
+    K = _CKPT_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    valid = _pad_steps(cdev.valid.astype(jnp.int8), D1K)
+    xb = _pad_steps(cdev.xb, D1K)
+    yb = _pad_steps(cdev.yb, D1K)
+    fink = cdev.fink.astype(jnp.int32)[None, :]
+    find = cdev.final_d.astype(jnp.int32)[None, :]
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rev3 = pl.BlockSpec((K, Wp, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    one = pl.BlockSpec((1, 1, B), lambda i: (0, 0, 0),
+                       memory_space=pltpu.VMEM)
+    ckpt_w = pl.BlockSpec((1, 12, Wp, B), lambda i: (G - 1 - i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    cs_w = pl.BlockSpec((1, 2, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    ckpt_r = pl.BlockSpec((1, 12, Wp, B), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    cs_r = pl.BlockSpec((1, 2, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    bwd_scratch = (
+        [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+        + [pltpu.VMEM((1, B), jnp.float32), pltpu.VMEM((1, B), jnp.float32)]
+        + [pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32)]
+    )
+    ckpt, cs, zrow, blsf = pl.pallas_call(
+        _make_bwd_kernel_circ_ckpt(st, gc, K),
+        grid=(G,),
+        in_specs=[rev3, rev3, rev3, full, full],
+        out_specs=[ckpt_w, cs_w, one, one],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, 12, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((G, 2, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, B), jnp.float32),
+        ],
+        scratch_shapes=bwd_scratch,
+        interpret=_use_interpret(),
+        compiler_params=_compiler_params(min_mb=64),
+    )(valid, xb, yb, fink, find)
+
+    logZ = (
+        jnp.log(jnp.maximum(zrow[0, 0, :], 1e-30)) + blsf[0, 0, :]
+    )
+
+    fwd_scratch = (
+        [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+        + [pltpu.VMEM((1, B), jnp.float32), pltpu.VMEM((1, B), jnp.float32)]
+        + [pltpu.VMEM((K, Wp, B), jnp.float32),
+           pltpu.VMEM((K, 1, B), jnp.float32)]
+    )
+    post = pl.pallas_call(
+        _make_fwd_kernel_circ_ckpt(st, gc, K),
+        grid=(G,),
+        in_specs=[blk3, blk3, blk3, ckpt_r, cs_r, full, full, full],
+        out_specs=[blk3],
+        out_shape=[jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32)],
+        scratch_shapes=fwd_scratch,
+        interpret=_use_interpret(),
+        compiler_params=_compiler_params(min_mb=64),
+    )(xb, yb, valid, ckpt, cs, fink, find, logZ[None, :])[0]
+    return logZ, post[:D1]
+
+
+@functools.partial(jax.jit, static_argnames=("st", "mode"))
+def _posteriors_circ_static(st, cdev, mode="lean"):
     gc = _flat_gap_consts(st)
     assert gc is not None, "circular path needs flat gap emissions"
-    if lean:
+    if mode == "ckpt":
+        return _posteriors_circ_ckpt(st, gc, cdev)
+    if mode == "lean":
         return _posteriors_circ_lean(st, gc, cdev)
     return _posteriors_circ(st, gc, cdev)
 
 
-def posteriors_pallas_circ(tables: FbTables, cdev, lean=None):
+def posteriors_pallas_circ(tables: FbTables, cdev, mode=None):
     """(logZ [B], posterior band in CIRCULAR layout) over a
     fb.CircDeviceBatch.  Model-specialised, flat-gap models (all
     shipped/normalised ones); band motion costs three unconditional
     single-row rotates per direction per step instead of six conditional
     roll+select pairs (measured +9% vs the band-relative path on v5e).
-    lean=True (MARGINALIGN_CIRC_LEAN=1) computes emissions in-kernel from
-    the int8 code streams instead of streaming a precomputed f32 emission
-    array — measured SLOWER on v5e (the kernels are sequential-compute
-    bound, not bandwidth bound), so it defaults off; kept for cases where
-    HBM capacity matters."""
+
+    mode (MARGINALIGN_CIRC_SERVE) picks the stream diet:
+      - "em":   precomputed f32 emission stream (heaviest; A/B reference)
+      - "lean": emissions in-kernel from the int8 code streams
+      - "ckpt": lean + checkpoint-recompute — the backward band is never
+        written to HBM; the posterior pass replays each block's backward
+        from a 48/K B/cell frontier checkpoint (bit-identical numerics).
+    All three produce identical posteriors up to float noise; the default
+    is whichever measured fastest on real hardware (docs/KERNELS.md)."""
     check_uniform_pi(tables)
-    if lean is None:
-        lean = __import__("os").environ.get(
-            "MARGINALIGN_CIRC_LEAN", "0") == "1"
-    return _posteriors_circ_static(static_tables(tables), cdev, lean)
+    if mode is None:
+        env = __import__("os").environ.get("MARGINALIGN_CIRC_SERVE", "")
+        if env in ("em", "lean", "ckpt"):
+            mode = env
+        elif __import__("os").environ.get("MARGINALIGN_CIRC_LEAN") == "1":
+            mode = "lean"
+        else:
+            mode = "em"
+    return _posteriors_circ_static(static_tables(tables), cdev, mode)
 
 
 @functools.partial(jax.jit, static_argnames=("st",))
