@@ -71,21 +71,20 @@ def main():
     del dev
 
     cdev = circ_device_batch(batch)
-    bench("circ_B2048", cells,
-          lambda t, c: posteriors_pallas_circ(t, c, lean=False),
-          tables, cdev)
-    bench("circ_lean_B2048", cells,
-          lambda t, c: posteriors_pallas_circ(t, c, lean=True),
-          tables, cdev)
+    for mode in ("em", "lean", "ckpt"):
+        bench("circ_%s_B2048" % mode, cells,
+              lambda t, c, m=mode: posteriors_pallas_circ(t, c, mode=m),
+              tables, cdev)
     del cdev, batch
 
     for nb in (3072, 4096):
         batch = _example_batch(nb, read_len, read_len, width=21, seed=1)
         cells = batch.dp_cells()
         cdev = circ_device_batch(batch)
-        bench("circ_lean_B%d" % nb, cells,
-              lambda t, c: posteriors_pallas_circ(t, c, lean=True),
-              tables, cdev)
+        for mode in ("lean", "ckpt"):
+            bench("circ_%s_B%d" % (mode, nb), cells,
+                  lambda t, c, m=mode: posteriors_pallas_circ(t, c, mode=m),
+                  tables, cdev)
         del cdev, batch
 
 

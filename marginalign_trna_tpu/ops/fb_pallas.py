@@ -2272,30 +2272,21 @@ def _ckpt_fwd_divide(kb: int) -> bool:
     return kb % _RESCALE_PERIOD == 0
 
 
-def _make_bwd_kernel_circ_ckpt(st, gc, K, lean):
-    """Checkpointing twin of _make_bwd_kernel_circ_{first,lean}: same
-    backward recurrence (lean=True computes emissions in-kernel from the
-    int8 code streams; lean=False reads the precomputed f32 emission
-    stream, which measured faster on v5e — int8 compare/relayout costs
-    more than the stream saves), but the only per-block outputs are the
-    entering frontier checkpoint (ckpt [1, 12, Wp, B] = b1 x5, b2 x5,
-    e1, e2; cs [1, 2, B] = bls, cprev) plus the logZ terms (zrow, final
-    bls)."""
+def _make_bwd_kernel_circ_ckpt(st, gc, K):
+    """Checkpointing twin of _make_bwd_kernel_circ_lean: same backward
+    recurrence (emissions computed in-kernel from the int8 code streams),
+    but the only per-block outputs are the entering frontier checkpoint
+    (ckpt [1, 12, Wp, B] = b1 x5, b2 x5, e1, e2; cs [1, 2, B] = bls,
+    cprev) plus the logZ terms (zrow, final bls)."""
     T = st[0]
     ch = _gap_chain_consts(st, gc)
     Em = _TableView.from_tuple(st[1])
 
     def kernel(*refs):
-        if lean:
-            (valid_ref, xb_ref, yb_ref, fink_ref, find_ref,
-             ckpt_ref, cs_ref, zrow_ref, blsf_ref,
-             b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
-             bls_ref, cprev_ref, eh1_ref, eh2_ref) = refs
-        else:
-            (valid_ref, em_ref, fink_ref, find_ref,
-             ckpt_ref, cs_ref, zrow_ref, blsf_ref,
-             b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
-             bls_ref, cprev_ref, eh1_ref, eh2_ref) = refs
+        (valid_ref, xb_ref, yb_ref, fink_ref, find_ref,
+         ckpt_ref, cs_ref, zrow_ref, blsf_ref,
+         b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
+         bls_ref, cprev_ref, eh1_ref, eh2_ref) = refs
         b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
         b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
         i = pl.program_id(0)
@@ -2349,13 +2340,10 @@ def _make_bwd_kernel_circ_ckpt(st, gc, K, lean):
             q[4] = _roll_up(b1[4])
 
             e2 = e1
-            if lean:
-                xb = xb_ref[kb].astype(jnp.int32)
-                yb = yb_ref[kb].astype(jnp.int32)
-                e_match_d, _ = _emissions(Em, None, xb, yb)
-                e1 = e_match_d * valid
-            else:
-                e1 = em_ref[kb]  # premasked by the precompute pass
+            xb = xb_ref[kb].astype(jnp.int32)
+            yb = yb_ref[kb].astype(jnp.int32)
+            e_match_d, _ = _emissions(Em, None, xb, yb)
+            e1 = e_match_d * valid
 
             new = [None] * _NSTATE
             if ch is not None:
@@ -2419,29 +2407,22 @@ def _make_bwd_kernel_circ_ckpt(st, gc, K, lean):
     return kernel
 
 
-def _make_fwd_kernel_circ_ckpt(st, gc, K, lean):
+def _make_fwd_kernel_circ_ckpt(st, gc, K):
     """Posterior pass of the checkpoint-recompute serving path: loads the
     block's entering backward frontier, replays the block's backward into
     bm/bls VMEM scratch (bit-identical to _make_bwd_kernel_circ_ckpt),
     then runs the forward and emits normalised posteriors like
-    _make_fwd_kernel_circ_post{,_lean}."""
+    _make_fwd_kernel_circ_post_lean."""
     T = st[0]
     ch = _gap_chain_consts(st, gc)
     Em = _TableView.from_tuple(st[1])
 
     def kernel(*refs):
-        if lean:
-            (xb_ref, yb_ref, valid_ref, ckpt_ref, cs_ref,
-             fink_ref, find_ref, logZ_ref,
-             post_ref,
-             f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
-             ls_ref, cprev_ref, bm_s, bls_s) = refs
-        else:
-            (em_ref, valid_ref, ckpt_ref, cs_ref,
-             fink_ref, find_ref, logZ_ref,
-             post_ref,
-             f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
-             ls_ref, cprev_ref, bm_s, bls_s) = refs
+        (xb_ref, yb_ref, valid_ref, ckpt_ref, cs_ref,
+         fink_ref, find_ref, logZ_ref,
+         post_ref,
+         f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
+         ls_ref, cprev_ref, bm_s, bls_s) = refs
         f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
         f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
         i = pl.program_id(0)
@@ -2474,13 +2455,10 @@ def _make_fwd_kernel_circ_ckpt(st, gc, K, lean):
             q[4] = _roll_up(b1[4])
 
             e2 = e1
-            if lean:
-                xb = xb_ref[kb].astype(jnp.int32)
-                yb = yb_ref[kb].astype(jnp.int32)
-                e_match_d, _ = _emissions(Em, None, xb, yb)
-                e1 = e_match_d * valid
-            else:
-                e1 = em_ref[kb]
+            xb = xb_ref[kb].astype(jnp.int32)
+            yb = yb_ref[kb].astype(jnp.int32)
+            e_match_d, _ = _emissions(Em, None, xb, yb)
+            e1 = e_match_d * valid
 
             new = [None] * _NSTATE
             if ch is not None:
@@ -2564,13 +2542,10 @@ def _make_fwd_kernel_circ_ckpt(st, gc, K, lean):
 
         for kb in range(K):
             valid = valid_ref[kb].astype(jnp.float32)
-            if lean:
-                xb = xb_ref[kb].astype(jnp.int32)
-                yb = yb_ref[kb].astype(jnp.int32)
-                em_raw, _ = _emissions(Em, None, xb, yb)
-                e_match = em_raw * valid
-            else:
-                e_match = em_ref[kb]
+            xb = xb_ref[kb].astype(jnp.int32)
+            yb = yb_ref[kb].astype(jnp.int32)
+            em_raw, _ = _emissions(Em, None, xb, yb)
+            e_match = em_raw * valid
 
             mix_m = mix_match(f2)
             if _ckpt_fwd_divide(kb):
@@ -2676,7 +2651,7 @@ def _posteriors_circ_ckpt(st, gc, cdev):
         ],
         scratch_shapes=bwd_scratch,
         interpret=_use_interpret(),
-        compiler_params=_compiler_params(min_mb=64),
+        compiler_params=_compiler_params(min_mb=96),
     )(valid, xb, yb, fink, find)
 
     logZ = (
@@ -2697,7 +2672,7 @@ def _posteriors_circ_ckpt(st, gc, cdev):
         out_shape=[jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32)],
         scratch_shapes=fwd_scratch,
         interpret=_use_interpret(),
-        compiler_params=_compiler_params(min_mb=64),
+        compiler_params=_compiler_params(min_mb=96),
     )(xb, yb, valid, ckpt, cs, fink, find, logZ[None, :])[0]
     return logZ, post[:D1]
 
@@ -2721,13 +2696,16 @@ def posteriors_pallas_circ(tables: FbTables, cdev, mode=None):
     roll+select pairs (measured +9% vs the band-relative path on v5e).
 
     mode (MARGINALIGN_CIRC_SERVE) picks the stream diet:
-      - "em":   precomputed f32 emission stream (heaviest; A/B reference)
-      - "lean": emissions in-kernel from the int8 code streams
+      - "em":   precomputed f32 emission stream (fastest measured; default)
+      - "lean": emissions in-kernel from the int8 code streams (-16% at
+        equal lanes, but least HBM: the choice when lanes don't fit)
       - "ckpt": lean + checkpoint-recompute — the backward band is never
         written to HBM; the posterior pass replays each block's backward
         from a 48/K B/cell frontier checkpoint (bit-identical numerics).
-    All three produce identical posteriors up to float noise; the default
-    is whichever measured fastest on real hardware (docs/KERNELS.md)."""
+        Slowest (-35%: the replay doubles the posterior-pass body) but
+        smallest footprint.
+    All three produce identical posteriors up to float noise; measured
+    throughputs are recorded in docs/KERNELS.md (round-3 table)."""
     check_uniform_pi(tables)
     if mode is None:
         env = __import__("os").environ.get("MARGINALIGN_CIRC_SERVE", "")

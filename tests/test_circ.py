@@ -88,17 +88,35 @@ def test_circ_matches_specialised_with_moving_band(rng):
     assert np.allclose(post[ok], np.asarray(post_s)[ok], atol=1e-5)
 
 
-def test_circ_lean_matches_streamed(rng):
-    """The in-kernel-emission (lean) circ path computes exactly what the
-    emission-streamed circ path does."""
+@pytest.mark.parametrize("mode", ["lean", "ckpt"])
+def test_circ_stream_diets_match_streamed(rng, mode):
+    """The in-kernel-emission (lean) and checkpoint-recompute (ckpt) circ
+    paths compute exactly what the emission-streamed circ path does."""
     hmm, batch = _mixed_batch(rng)
     tables = make_tables(hmm)
     cdev = circ_device_batch(batch)
-    logZ_a, post_a = posteriors_pallas_circ(tables, cdev, lean=False)
-    logZ_b, post_b = posteriors_pallas_circ(tables, cdev, lean=True)
+    logZ_a, post_a = posteriors_pallas_circ(tables, cdev, mode="em")
+    logZ_b, post_b = posteriors_pallas_circ(tables, cdev, mode=mode)
     assert np.allclose(np.asarray(logZ_b)[:3], np.asarray(logZ_a)[:3],
                        rtol=1e-6, atol=1e-6)
     assert np.allclose(np.asarray(post_b), np.asarray(post_a), atol=1e-6)
+
+
+def test_circ_ckpt_matches_oracle(rng):
+    """mode="ckpt" against the engine oracle (not just the streamed twin):
+    logZ and in-band posteriors within the usual tolerances."""
+    hmm, batch = _mixed_batch(rng)
+    tables = make_tables(hmm)
+    ref = forward_backward(tables, device_batch(batch),
+                           want_posteriors=True)
+    logZ, post_c = posteriors_pallas_circ(
+        tables, circ_device_batch(batch), mode="ckpt"
+    )
+    assert np.allclose(np.asarray(logZ)[:3], np.asarray(ref.logZ)[:3],
+                       rtol=1e-4, atol=1e-4)
+    post = circ_to_rel(np.asarray(post_c), batch)
+    ok = batch.valid
+    assert np.allclose(post[ok], np.asarray(ref.posteriors)[ok], atol=2e-4)
 
 
 def test_circ_generic_branch_non_chain_model(rng):
