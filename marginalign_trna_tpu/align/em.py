@@ -165,6 +165,42 @@ def prepare_em_batches(
     return out
 
 
+def _counts_pipelined(batches, call_for_kind):
+    """Dispatch one expected-counts call per batch WITHOUT syncing, then
+    materialise in order: yields (np-arrays tuple, n_real) per batch.
+
+    Device execution is in-order, so deferring every host read to the
+    second loop overlaps each call's dispatch latency with the previous
+    batch's compute — a synchronous device call costs a ~25ms
+    host<->device round-trip floor on remote-PJRT environments
+    (benchmarks/floor_probe.py), which multi-chunk E-steps would otherwise
+    pay per chunk.  Count outputs are tiny ([5,5]-class), so keeping every
+    batch's results in flight holds no device memory to speak of.  A batch
+    whose async execution failed is re-dispatched synchronously under the
+    usual retry policy."""
+    from ..parallel.runtime import with_retries
+
+    pending = []
+    for kind, dev, n_real in batches:
+        fn = call_for_kind[kind]
+        pending.append(
+            (with_retries(lambda f=fn, d=dev: f(d)), fn, dev, n_real)
+        )
+    for res, fn, dev, n_real in pending:
+        holder = [res]
+
+        def _materialise(h=holder, f=fn, d=dev):
+            if h[0] is None:
+                h[0] = f(d)  # re-dispatch after an async failure
+            try:
+                return tuple(np.asarray(a) for a in h[0])
+            except Exception:
+                h[0] = None
+                raise
+
+        yield with_retries(_materialise), n_real
+
+
 def expectation_step(
     batches: List[Tuple[str, object, int]],
     hmm: PairHmm,
@@ -179,22 +215,18 @@ def expectation_step(
     eg = np.zeros((5, 5))
     total_ll = 0.0
     from ..ops.dispatch import fb_counts, fb_counts_multi
-    from ..parallel.runtime import with_retries
 
-    for kind, dev, n_real in batches:
-        if kind == "multi":
-            logZ, tc_b, em_b, eg_b = with_retries(
-                lambda d=dev: fb_counts_multi(tables, d)
-            )
-            total_ll += float(np.sum(np.asarray(logZ)[:n_real]))
-        else:
-            logZ, tc_b, em_b, eg_b = with_retries(
-                lambda d=dev: fb_counts(tables, d)
-            )
-            total_ll += float(np.sum(np.asarray(logZ)[:n_real]))
-        tc += np.asarray(tc_b, dtype=np.float64)
-        em += np.asarray(em_b, dtype=np.float64)
-        eg += np.asarray(eg_b, dtype=np.float64)
+    calls = {
+        "multi": lambda d: fb_counts_multi(tables, d),
+        "single": lambda d: fb_counts(tables, d),
+    }
+    for (logZ, tc_b, em_b, eg_b), n_real in _counts_pipelined(
+        batches, calls
+    ):
+        total_ll += float(np.sum(logZ[:n_real]))
+        tc += tc_b.astype(np.float64)
+        em += em_b.astype(np.float64)
+        eg += eg_b.astype(np.float64)
     if psum_fn is not None:
         tc, em, eg, total_ll = psum_fn(tc, em, eg, total_ll)
     return tc, em, eg, total_ll
@@ -230,21 +262,18 @@ def expectation_step_trials(
     eg = np.zeros((ntr, 5, 5))
     total_ll = np.zeros(ntr)
     from ..ops.dispatch import fb_counts_multi_trials, fb_counts_trials
-    from ..parallel.runtime import with_retries
 
-    for kind, dev, n_real in batches:
-        if kind == "multi":
-            logZ, tc_b, em_b, eg_b = with_retries(
-                lambda d=dev: fb_counts_multi_trials(tables, d)
-            )
-        else:
-            logZ, tc_b, em_b, eg_b = with_retries(
-                lambda d=dev: fb_counts_trials(tables, d)
-            )
-        total_ll += np.asarray(logZ)[:, :n_real].sum(axis=1)
-        tc += np.asarray(tc_b, dtype=np.float64)
-        em += np.asarray(em_b, dtype=np.float64)
-        eg += np.asarray(eg_b, dtype=np.float64)
+    calls = {
+        "multi": lambda d: fb_counts_multi_trials(tables, d),
+        "single": lambda d: fb_counts_trials(tables, d),
+    }
+    for (logZ, tc_b, em_b, eg_b), n_real in _counts_pipelined(
+        batches, calls
+    ):
+        total_ll += logZ[:, :n_real].sum(axis=1)
+        tc += tc_b.astype(np.float64)
+        em += em_b.astype(np.float64)
+        eg += eg_b.astype(np.float64)
     if psum_fn is not None:
         tc, em, eg, total_ll = psum_fn(tc, em, eg, total_ll)
     return tc, em, eg, total_ll

@@ -133,6 +133,30 @@ def accumulate_expectations(
             ]
         return expectations
 
+    # Buckets are dispatched a few deep before each host sync: a
+    # synchronous device call pays a ~25ms round-trip floor on remote-PJRT
+    # environments (benchmarks/floor_probe.py), and the per-bucket result
+    # is a tiny [rg, 4] tensor, so keeping a window of calls in flight
+    # overlaps dispatch with compute.  The window is bounded because each
+    # in-flight call pins its bucket's device input streams.
+    pipeline_depth = 8
+    pending: List[Tuple[object, object]] = []  # (run_thunk, device result)
+
+    def _drain_one():
+        run, res = pending.pop(0)
+        holder = [res]
+
+        def _materialise():
+            if holder[0] is None:
+                holder[0] = run()  # re-dispatch after an async failure
+            try:
+                return np.asarray(holder[0])[:total]
+            except Exception:
+                holder[0] = None
+                raise
+
+        return with_retries(_materialise)
+
     for bucket in _bucket_jobs(jobs, options.band_width,
                                options.max_batch_cells):
         batch = pack_banded_batch(
@@ -160,11 +184,17 @@ def accumulate_expectations(
                 from ..ops.expectations import band_expectations_circ
 
                 return band_expectations_circ(
-                    post_dev, b, dev, off, total, n_real=nb
+                    post_dev, b, dev, off, total, n_real=nb,
+                    as_device=True,
                 )
-            return band_expectations(post_dev, b, off, total, n_real=nb)
+            return band_expectations(post_dev, b, off, total, n_real=nb,
+                                     as_device=True)
 
-        exp_global += with_retries(_run)
+        pending.append((_run, with_retries(_run)))
+        if len(pending) >= pipeline_depth:
+            exp_global += _drain_one()
+    while pending:
+        exp_global += _drain_one()
     for name in ref_names:
         off = global_off[name]
         expectations[name] += exp_global[off : off + len(ref_sequences[name])]

@@ -104,11 +104,15 @@ def band_expectations(
     ref_offsets: np.ndarray,
     total_ref_len: int,
     n_real: Optional[int] = None,
+    as_device: bool = False,
 ) -> np.ndarray:
     """[total_ref_len, 4] expected base counts for one posterior batch.
 
     post may be a device array (preferred: avoids transferring the
-    multi-GB band to the host) or numpy.
+    multi-GB band to the host) or numpy.  as_device=True skips the host
+    sync and returns the (quantized-length [rg, 4]) device array, letting
+    callers pipeline several buckets before materialising; slice to
+    total_ref_len after conversion.
     """
     n_real = batch.batch if n_real is None else n_real
     rg = _round_up(max(total_ref_len, 1), 512)  # quantized for jit reuse
@@ -122,6 +126,8 @@ def band_expectations(
         width=batch.width,
         rg=rg,
     )
+    if as_device:
+        return out
     return np.asarray(out)[:total_ref_len]
 
 
@@ -400,10 +406,13 @@ def band_expectations_circ(
     ref_offsets: np.ndarray,
     total_ref_len: int,
     n_real: Optional[int] = None,
+    as_device: bool = False,
 ) -> np.ndarray:
     """[total_ref_len, 4] expected base counts from a CIRCULAR-layout
     posterior batch (the fb.CircDeviceBatch used to produce it supplies
-    the matching yb/valid streams; post_c may stay on device)."""
+    the matching yb/valid streams; post_c may stay on device).
+    as_device=True returns the quantized [rg, 4] device array without a
+    host sync (see band_expectations)."""
     n_real = batch.batch if n_real is None else n_real
     rg = _round_up(max(total_ref_len, 1), 512)
     ia, ib = circ_run_boundaries(batch, ref_offsets, rg, n_real)
@@ -416,4 +425,6 @@ def band_expectations_circ(
         jnp.asarray(ib),
         rg=rg,
     )
+    if as_device:
+        return out
     return np.asarray(out)[:total_ref_len]
