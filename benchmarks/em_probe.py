@@ -27,6 +27,8 @@ def main():
         here, "marginalign_trna_tpu", "models", "last_hmm_20.txt"))
     tables = make_tables(hmm)
 
+    depth = int(os.environ.get("PROBE_DEPTH", "8"))
+
     def bench(label, cells, fn, *args):
         def run():
             res = fn(*args)
@@ -34,14 +36,29 @@ def main():
             del res
             return s
 
+        def run_pipelined():
+            # Steady state: counts outputs are tiny, so keep `depth`
+            # E-step calls in flight and sync once (the ~25ms dispatch
+            # floor otherwise dominates: benchmarks/floor_probe.py).
+            t0 = time.perf_counter()
+            outs = [fn(*args) for _ in range(depth)]
+            s = float(np.asarray(outs[-1].logZ).sum())
+            del outs, s
+            return (time.perf_counter() - t0) / depth
+
         try:
             with_retries(run, attempts=3)
             t0 = time.perf_counter()
             for _ in range(reps):
                 with_retries(run, attempts=3)
             dt = (time.perf_counter() - t0) / reps
+            dt_p = min(with_retries(run_pipelined, attempts=3)
+                       for _ in range(2))
             print(json.dumps({"mode": label, "wall_ms": dt * 1e3,
-                              "cells_per_sec": cells / dt}), flush=True)
+                              "cells_per_sec": cells / dt,
+                              "pipelined_wall_ms": dt_p * 1e3,
+                              "pipelined_cells_per_sec": cells / dt_p}),
+                  flush=True)
         except Exception as e:
             print(json.dumps({"mode": label,
                               "error": type(e).__name__ + ": " + str(e)[:200]}),

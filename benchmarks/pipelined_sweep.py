@@ -1,0 +1,100 @@
+"""Pipelined (steady-state) re-tune of the serving kernel's K and B.
+
+Every round-1/2 parameter conclusion (K=8 sweet spot, batch scaling) was
+timed sync-per-call and therefore sat on the ~25ms dispatch floor
+(benchmarks/floor_probe.py); this re-measures with the floor removed.
+One (K, B) config per SUBPROCESS (K binds at module import).
+
+Usage: python benchmarks/pipelined_sweep.py            # run the sweep
+       SWEEP_ONE=1 K=8 B=2048 python ...pipelined_sweep.py  # one point
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_one():
+    import functools
+
+    import jax
+
+    from __graft_entry__ import _example_batch
+    from marginalign_trna_tpu.models.hmm import PairHmm
+    from marginalign_trna_tpu.ops.fb import circ_device_batch, make_tables
+    from marginalign_trna_tpu.ops.fb_pallas import (
+        _posteriors_circ_static, static_tables,
+    )
+    from marginalign_trna_tpu.parallel.runtime import with_retries
+
+    K = int(os.environ["K"])
+    B = int(os.environ["B"])
+    mode = os.environ.get("MODE", "em")
+    depth = int(os.environ.get("PROBE_DEPTH", "8"))
+    read_len = int(os.environ.get("BENCH_READ_LEN", "3500"))
+
+    hmm = PairHmm.load(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "marginalign_trna_tpu", "models", "last_hmm_20.txt",
+        )
+    )
+    st = static_tables(make_tables(hmm))
+    batch = _example_batch(B, read_len, read_len, width=21, seed=1)
+    cells = batch.dp_cells()
+    cdev = circ_device_batch(batch)
+
+    @functools.partial(jax.jit, static_argnames=("s", "m"))
+    def serve_scalar(s, c, m):
+        logZ, post = _posteriors_circ_static(s, c, mode=m)
+        return logZ.sum() + post.sum()
+
+    with_retries(lambda: float(serve_scalar(st, cdev, mode)), attempts=3)
+
+    def pipelined():
+        t0 = time.perf_counter()
+        outs = [serve_scalar(st, cdev, mode) for _ in range(depth)]
+        out = float(outs[-1])
+        del outs, out
+        return (time.perf_counter() - t0) / depth
+
+    dt = min(with_retries(pipelined, attempts=3) for _ in range(3))
+    print(json.dumps({"K": K, "B": B, "mode": mode,
+                      "wall_ms": dt * 1e3,
+                      "cells_per_sec": cells / dt}), flush=True)
+
+
+def main():
+    if os.environ.get("SWEEP_ONE") == "1":
+        run_one()
+        return
+    configs = [
+        # (K, B, mode)
+        (8, 2048, "em"),
+        (16, 2048, "em"),
+        (32, 2048, "em"),
+        (4, 2048, "em"),
+        (8, 1024, "em"),
+        (8, 3072, "em"),
+        (8, 4096, "lean"),
+    ]
+    for K, B, mode in configs:
+        env = dict(os.environ, SWEEP_ONE="1", K=str(K), B=str(B), MODE=mode,
+                   MARGINALIGN_STEP_BLOCK=str(K))
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, timeout=3600, env=env,
+        )
+        for ln in r.stdout.splitlines():
+            if ln.startswith("{"):
+                print(ln, flush=True)
+        if r.returncode != 0:
+            print(json.dumps({"K": K, "B": B, "mode": mode,
+                              "error": r.stderr[-300:]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

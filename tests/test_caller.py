@@ -71,6 +71,33 @@ def test_caller_on_mutated_reference(fixtures_dir, tmp_path, no_margin):
         assert recall > 0.3, (precision, recall)
 
 
+def test_caller_bucket_pipeline_matches_multi(fixtures_dir, tmp_path,
+                                              monkeypatch):
+    """The pipelined bucket-window path (multi-packing off, tiny
+    max_batch_cells so several buckets stay in flight and the drain loop
+    runs) calls the same variants as the multi-problem-lane path."""
+    sam = SamFile.read(os.path.join(fixtures_dir, "inputBigMutations.sam"))
+    sam.records = sam.records[:6]
+    sam_path = str(tmp_path / "subset.sam")
+    sam.write(sam_path)
+    hmm = PairHmm.load(MODEL)
+    ref = os.path.join(fixtures_dir, "referencesMutated.fa")
+
+    out_multi = str(tmp_path / "multi.vcf")
+    calls_multi = margin_caller(sam_path, ref, out_multi,
+                                alignment_model=hmm, error_model=hmm)
+
+    monkeypatch.setenv("MARGINALIGN_MULTI", "off")
+    out_bucket = str(tmp_path / "bucket.vcf")
+    calls_bucket = margin_caller(
+        sam_path, ref, out_bucket, alignment_model=hmm, error_model=hmm,
+        options=CallerOptions(max_batch_cells=200_000),
+    )
+    assert {(c[0], c[1], c[2]) for c in calls_bucket} == {
+        (c[0], c[1], c[2]) for c in calls_multi
+    }
+
+
 def test_vcf_writer_round_trip_assert(fixtures_dir, tmp_path):
     """margin_caller itself asserts the vcfWrite/vcfRead round trip
     (reference: marginCallerLib.py:219-222); reaching here means it held."""
