@@ -281,34 +281,61 @@ def realigned_ops_for_jobs(
 
         return with_retries(_run_multi)
 
-    for bucket in _bucket_jobs(jobs, band_width, max_batch_cells):
-        reads = [jobs[i].read_region for i in bucket]
-        refs = [jobs[i].ref_region for i in bucket]
-        paths = [jobs[i].path for i in bucket]
-        batch = pack_banded_batch(reads, refs, width=band_width, paths=paths,
-                                  quantize=True)
-        from ..parallel.runtime import with_retries
+    from ..parallel.runtime import with_retries
 
-        def _run(b=batch):
-            from ..ops.dispatch import make_fb_device_batch
-            from ..ops.fb import CircDeviceBatch
+    def _dispatch(bucket):
+        """FB the bucket asynchronously; the posterior band stays on
+        device (circ posteriors are re-laid out by a device gather, not a
+        host round trip), so several buckets can be in flight before the
+        MEA decode's pointer pull forces a sync."""
+        batch = pack_banded_batch(
+            [jobs[i].read_region for i in bucket],
+            [jobs[i].ref_region for i in bucket],
+            width=band_width,
+            paths=[jobs[i].path for i in bucket],
+            quantize=True,
+        )
+        from ..ops.dispatch import make_fb_device_batch
+        from ..ops.fb import CircDeviceBatch
 
-            dev = make_fb_device_batch(b)
-            _, post_dev = fb_posteriors(tables, dev)
-            post_np = np.asarray(post_dev)
-            if isinstance(dev, CircDeviceBatch):
-                # Realign batches are small (<= max_batch_cells); the
-                # layout conversion is cheap host numpy, so the MEA
-                # decode path stays band-relative.
-                from ..ops.band import circ_to_rel
+        dev = make_fb_device_batch(batch)
+        _, post_dev = fb_posteriors(tables, dev)
+        if isinstance(dev, CircDeviceBatch):
+            from ..ops.band import circ_to_rel_device
 
-                post_np = circ_to_rel(post_np, b)
-            return post_np
+            post_dev = circ_to_rel_device(post_dev, batch.lo)
+        return batch, post_dev
 
-        post = with_retries(_run)
-        ops_list = mea_decode(post, batch, gap_gamma, match_gamma)
+    # Window of in-flight buckets: bounded because each pins its posterior
+    # band (~max_batch_cells * 4B) on device until decoded.
+    pipeline_depth = 2
+    pending = []
+
+    def _drain_one():
+        bucket, run, res = pending.pop(0)
+        holder = [res]
+
+        def _decode():
+            if holder[0] is None:
+                holder[0] = run()  # re-dispatch after an async failure
+            b, post_dev = holder[0]
+            try:
+                return b, mea_decode(post_dev, b, gap_gamma, match_gamma)
+            except Exception:
+                holder[0] = None
+                raise
+
+        _, ops_list = with_retries(_decode)
         for local_b, job_idx in enumerate(bucket):
             results[job_idx] = ops_list[local_b]
+
+    for bucket in _bucket_jobs(jobs, band_width, max_batch_cells):
+        run = lambda b=bucket: _dispatch(b)  # noqa: E731
+        pending.append((bucket, run, with_retries(run)))
+        if len(pending) > pipeline_depth:
+            _drain_one()
+    while pending:
+        _drain_one()
     return results  # type: ignore[return-value]
 
 

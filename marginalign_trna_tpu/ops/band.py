@@ -453,6 +453,24 @@ def circ_to_rel(values_c: np.ndarray, batch: BandedBatch) -> np.ndarray:
     return out
 
 
+def circ_to_rel_device(values_c, lo):
+    """Device-side circ_to_rel: one take_along_axis gather (fine on TPU —
+    the per-step-gather pathology only bites inside lax.scan).  values_c
+    [D1, Wp, B] on device, lo [D1, B] int; returns the band-relative
+    device array without any host round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _convert(vals, lo_d):
+        D1, Wp, B = vals.shape
+        rows = jnp.arange(Wp, dtype=jnp.int32)[None, :, None]
+        idx = (rows + lo_d[:, None, :].astype(jnp.int32)) % Wp
+        return jnp.take_along_axis(vals, idx, axis=1)
+
+    return _convert(values_c, jnp.asarray(lo))
+
+
 def circular_streams_multi(mb: "MultiBandedBatch"):
     """(xb, yb, valid, fink_steps) in the circular layout for multi-problem
     lanes.  mb.lo is the problem-LOCAL band offset at each global step, so

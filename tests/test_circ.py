@@ -149,6 +149,17 @@ def test_circ_generic_branch_non_chain_model(rng):
     assert np.allclose(post[ok], np.asarray(ref.posteriors)[ok], atol=2e-4)
 
 
+def test_circ_to_rel_device_matches_host(rng):
+    """The device gather used by the realign pipeline reproduces the host
+    circ_to_rel exactly."""
+    from marginalign_trna_tpu.ops.band import circ_to_rel_device
+
+    _, batch = _mixed_batch(rng)
+    vals = rng.random(batch.xb.shape).astype(np.float32)
+    dev = circ_to_rel_device(vals, batch.lo)
+    assert np.array_equal(np.asarray(dev), circ_to_rel(vals, batch))
+
+
 def test_circ_band_expectations_match_host(rng):
     """Device circ-layout caller expectations (shear + 2-gather run
     boundaries) match the host np.add.at oracle."""
