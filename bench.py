@@ -44,9 +44,12 @@ def main():
     from __graft_entry__ import _example_batch
 
     platform = jax.devices()[0].platform
-    # Batch sized for one chip: 2048 lanes of ~3.5kb reads
-    # (largest that holds all streams in HBM; 3072 OOMs).
-    n_reads = int(os.environ.get("BENCH_READS", "2048"))
+    # Batch sized for one chip: 3072 lanes of ~3.5kb reads.  Larger fits
+    # now that each batch's outputs reduce on device (round-2's "3072
+    # OOMs" was the host-held posterior band); 4096 measured only +1%
+    # over 3072 (benchmarks/pipelined_sweep.py), so stay clear of the
+    # HBM ceiling.
+    n_reads = int(os.environ.get("BENCH_READS", "3072"))
     read_len = int(os.environ.get("BENCH_READ_LEN", "3500"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 

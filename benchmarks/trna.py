@@ -53,6 +53,34 @@ def main():
         "marginalign_trna_tpu", "models", "last_hmm_20.txt"))
     tables = make_tables(hmm)
 
+    import jax
+
+    # Steady-state timing: queue the whole run `depth` times, reduce every
+    # output on device, sync once (per-synchronous-call dispatch costs
+    # ~25ms here — benchmarks/floor_probe.py).
+    depth = int(os.environ.get("PROBE_DEPTH", "6"))
+
+    @jax.jit
+    def _single_scalar(d):
+        logZ, post = posteriors_pallas_specialised(tables, d)
+        return logZ.sum() + post.sum()
+
+    @jax.jit
+    def _multi_scalar(d):
+        logZ, post = posteriors_pallas_multi(tables, d)
+        return logZ.sum() + post.sum()
+
+    def bench_pipelined(fn, devs_list):
+        def once():
+            t0 = time.perf_counter()
+            outs = [fn(d) for _ in range(depth) for d in devs_list]
+            out = float(outs[-1])
+            del outs, out
+            return (time.perf_counter() - t0) / depth
+
+        with_retries(lambda: float(fn(devs_list[0])), attempts=3)  # warm
+        return min(with_retries(once, attempts=3) for _ in range(REPS))
+
     # Quantized single-problem lanes (the pre-multi production path),
     # chunked at its feasible lane count per batch.
     chunk = int(os.environ.get("TRNA_SINGLE_LANES", "4096"))
@@ -63,36 +91,12 @@ def main():
                                    width=WIDTH, quantize=True)
         devs.append(device_batch(sbatch))
     sb = sbatch
-
-    def run_single():
-        out = 0.0
-        for dev in devs:
-            logZ, post = posteriors_pallas_specialised(tables, dev)
-            out += float(np.asarray(logZ).sum())
-            del logZ, post
-        return out
-
-    with_retries(run_single, attempts=3)
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        with_retries(run_single, attempts=3)
-    dt_single = (time.perf_counter() - t0) / REPS
+    dt_single = bench_pipelined(_single_scalar, devs)
 
     # Multi-problem lanes.
     mb = pack_multi_banded_batch(reads, refs, width=WIDTH)
     mdev = multi_device_batch(mb)
-
-    def run_multi():
-        logZ, post = posteriors_pallas_multi(tables, mdev)
-        out = float(np.asarray(logZ).sum())
-        del logZ, post
-        return out
-
-    with_retries(run_multi, attempts=3)
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        with_retries(run_multi, attempts=3)
-    dt_multi = (time.perf_counter() - t0) / REPS
+    dt_multi = bench_pipelined(_multi_scalar, [mdev])
 
     for name, dt, shape in (
         ("single", dt_single, sb.xb.shape),

@@ -441,12 +441,12 @@ def _counts_pallas_jit(tables: FbTables, batch: DeviceBatch) -> CountsResult:
 
 
 def counts_pallas(tables: FbTables, batch: DeviceBatch) -> CountsResult:
-    """Baum-Welch expected counts.  Default is the checkpoint-recompute
-    path (emit_match in-kernel, no stored forward band, no posterior
-    band); MARGINALIGN_EM_KERNEL=stored keeps the stored-forward path,
-    whose result carries posteriors for match_counts_from_posteriors."""
+    """Baum-Welch expected counts.  Kernel policy is _use_ckpt (auto:
+    stored-forward while its bands fit HBM — faster steady-state — else
+    checkpoint-recompute, which stores no forward/posterior band and
+    folds emit_match in-kernel)."""
     check_uniform_pi(tables)
-    if _use_ckpt():
+    if _use_ckpt(batch.xb.shape):
         return _counts_ckpt_jit(tables, batch)
     return _counts_pallas_jit(tables, batch)
 
@@ -853,9 +853,9 @@ def _counts_pallas_multi_jit(tables: FbTables, mdev) -> CountsResult:
 def counts_pallas_multi(tables: FbTables, mdev) -> CountsResult:
     """Baum-Welch expected counts over multi-problem lanes.  logZ is per
     problem [P]; counts/posteriors sum over every problem in the batch.
-    Default is the checkpoint-recompute path (see counts_pallas)."""
+    Kernel policy per _use_ckpt (see counts_pallas)."""
     check_uniform_pi(tables)
-    if _use_ckpt():
+    if _use_ckpt(mdev.xb.shape):
         return _counts_ckpt_multi_jit(tables, mdev)
     return _counts_pallas_multi_jit(tables, mdev)
 
@@ -1032,9 +1032,9 @@ def counts_pallas_trials(tables: FbTables, batch: DeviceBatch) -> CountsResult:
     Replaces the reference's serial EM trials (cPecanEm
     expectationMaximisationTrials, called at src/margin/marginAlignLib.py:
     219-221) with lockstep trials — one executable, one call per E-step.
-    Default is the checkpoint-recompute path (see counts_pallas)."""
+    Kernel policy per _use_ckpt (see counts_pallas)."""
     check_uniform_pi(tables)
-    if _use_ckpt():
+    if _use_ckpt(batch.xb.shape, ntr=_check_trials_tables(tables)):
         return _counts_ckpt_trials_jit(tables, batch)
     return _counts_pallas_trials_jit(tables, batch)
 
@@ -1200,9 +1200,9 @@ def _counts_pallas_multi_trials_jit(tables: FbTables, mdev) -> CountsResult:
 def counts_pallas_multi_trials(tables: FbTables, mdev) -> CountsResult:
     """Lockstep-trials variant of counts_pallas_multi: Ntr models over one
     multi-problem-lane batch in one device call.  logZ is [Ntr, P].
-    Default is the checkpoint-recompute path (see counts_pallas)."""
+    Kernel policy per _use_ckpt (see counts_pallas)."""
     check_uniform_pi(tables)
-    if _use_ckpt():
+    if _use_ckpt(mdev.xb.shape, ntr=_check_trials_tables(tables)):
         return _counts_ckpt_multi_trials_jit(tables, mdev)
     return _counts_pallas_multi_trials_jit(tables, mdev)
 
@@ -1607,11 +1607,29 @@ _fwd_ckpt_kernel = functools.partial(_fwd_ckpt_impl, 0)
 _bwd_counts_ckpt_kernel = functools.partial(_bwd_counts_ckpt_impl, 0)
 
 
-def _use_ckpt() -> bool:
-    """Checkpoint-recompute is the default E-step
-    (MARGINALIGN_EM_KERNEL=stored keeps the stored-forward path)."""
-    return __import__("os").environ.get(
-        "MARGINALIGN_EM_KERNEL", "ckpt").lower() != "stored"
+def _use_ckpt(xb_shape, ntr: int = 1) -> bool:
+    """E-step kernel policy.  Pipelined (steady-state) hardware timing
+    shows the STORED-forward path is faster than checkpoint-recompute
+    whenever its f_all band fits HBM (4.58e9 vs 3.67e9 cells/s at
+    512 x 3.5kb on v5e — the round-2 '+14% for ckpt' reading was the
+    per-call dispatch floor, docs/KERNELS.md round-3 postmortem), so:
+
+      MARGINALIGN_EM_KERNEL=auto  (default) stored while the stored
+          path's big bands (f_all [D1K,5,Wp,B] + posterior band) fit
+          MARGINALIGN_EM_STORED_BUDGET_MB (default 6144), else ckpt
+      MARGINALIGN_EM_KERNEL=stored / ckpt   force one path
+    """
+    env = __import__("os").environ
+    mode = env.get("MARGINALIGN_EM_KERNEL", "auto").lower()
+    if mode == "stored":
+        return False
+    if mode == "ckpt":
+        return True
+    budget_mb = int(env.get("MARGINALIGN_EM_STORED_BUDGET_MB", "6144"))
+    d1, wp, b = xb_shape[-3], xb_shape[-2], xb_shape[-1]
+    d1k = -(-d1 // STEP_BLOCK) * STEP_BLOCK
+    stored_bytes = (_NSTATE + 1) * d1k * wp * b * 4 * ntr
+    return stored_bytes > budget_mb * 1024 * 1024
 
 
 @jax.jit

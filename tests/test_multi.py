@@ -1,5 +1,6 @@
 """Multi-problem lane packing: posteriors/logZ must match per-problem
 single-lane runs (the short-read / tRNA production path)."""
+import pytest
 import numpy as np
 
 from marginalign_trna_tpu.models.hmm import PairHmm
@@ -179,15 +180,19 @@ def test_multi_mea_decode_matches_single(rng):
         del os.environ["MARGINALIGN_MEA"]
 
 
-def test_multi_counts_match_engine(rng):
+@pytest.mark.parametrize("em_kernel", ["stored", "ckpt"])
+def test_multi_counts_match_engine(rng, monkeypatch, em_kernel):
     """counts_pallas_multi == summed per-problem forward_backward counts
-    (dynamic tables, non-flat emissions: the EM-in-training case)."""
+    (dynamic tables, non-flat emissions: the EM-in-training case), on
+    both E-step kernel families (the auto policy picks by HBM fit, so
+    pin each explicitly)."""
     from marginalign_trna_tpu.ops.band import pack_multi_banded_batch
     from marginalign_trna_tpu.ops.fb import forward_backward
     from marginalign_trna_tpu.ops.fb_pallas_counts import (
         counts_pallas_multi, match_counts_from_posteriors_multi,
     )
 
+    monkeypatch.setenv("MARGINALIGN_EM_KERNEL", em_kernel)
     reads, refs, paths = _problems(rng)
     mb = pack_multi_banded_batch(reads, refs, width=9, paths=paths,
                                  pad_steps_to=96)
@@ -249,10 +254,14 @@ def test_em_multi_smoke(rng):
     assert np.allclose(res.hmm.transitions.sum(axis=1), 1.0, atol=1e-3)
 
 
-def test_trials_kernels_match_single_trial(rng):
+@pytest.mark.parametrize("em_kernel", ["stored", "ckpt"])
+def test_trials_kernels_match_single_trial(rng, monkeypatch, em_kernel):
     """counts_pallas_trials / counts_pallas_multi_trials (trials = major
-    grid axis) match per-trial single-model kernel calls."""
+    grid axis) match per-trial single-model kernel calls, on both E-step
+    kernel families."""
     import jax.numpy as jnp
+
+    monkeypatch.setenv("MARGINALIGN_EM_KERNEL", em_kernel)
 
     from marginalign_trna_tpu.ops.band import pack_multi_banded_batch
     from marginalign_trna_tpu.ops.fb import FbTables
@@ -289,10 +298,18 @@ def test_trials_kernels_match_single_trial(rng):
         assert np.allclose(np.asarray(res_tr.trans_counts[tr]),
                            np.asarray(ref.trans_counts),
                            rtol=1e-3, atol=1e-3)
-        # Default path is checkpoint-recompute: in-kernel match counts,
-        # no posterior band.
-        assert np.allclose(np.asarray(res_tr.emit_match[tr]),
-                           np.asarray(ref.emit_match),
+        # ckpt folds match counts in-kernel; stored derives them from the
+        # posterior band.
+        from marginalign_trna_tpu.ops.fb_pallas_counts import (
+            match_counts_from_posteriors, match_counts_from_posteriors_trials,
+        )
+
+        em_tr = (res_tr.emit_match if res_tr.emit_match is not None
+                 else match_counts_from_posteriors_trials(
+                     res_tr.posteriors, dev))
+        em_ref = (ref.emit_match if ref.emit_match is not None
+                  else match_counts_from_posteriors(ref.posteriors, dev))
+        assert np.allclose(np.asarray(em_tr[tr]), np.asarray(em_ref),
                            rtol=1e-3, atol=1e-3)
         if res_tr.posteriors is not None and ref.posteriors is not None:
             assert np.allclose(np.asarray(res_tr.posteriors[tr]),
@@ -310,8 +327,18 @@ def test_trials_kernels_match_single_trial(rng):
         assert np.allclose(np.asarray(res_mtr.trans_counts[tr]),
                            np.asarray(ref.trans_counts),
                            rtol=1e-3, atol=1e-3)
-        assert np.allclose(np.asarray(res_mtr.emit_match[tr]),
-                           np.asarray(ref.emit_match),
+        from marginalign_trna_tpu.ops.fb_pallas_counts import (
+            match_counts_from_posteriors_multi,
+            match_counts_from_posteriors_multi_trials,
+        )
+
+        em_mtr = (res_mtr.emit_match if res_mtr.emit_match is not None
+                  else match_counts_from_posteriors_multi_trials(
+                      res_mtr.posteriors, mdev))
+        em_mref = (ref.emit_match if ref.emit_match is not None
+                   else match_counts_from_posteriors_multi(
+                       ref.posteriors, mdev))
+        assert np.allclose(np.asarray(em_mtr[tr]), np.asarray(em_mref),
                            rtol=1e-3, atol=1e-3)
         if res_mtr.posteriors is not None and ref.posteriors is not None:
             assert np.allclose(np.asarray(res_mtr.posteriors[tr]),
