@@ -35,7 +35,11 @@ class EmOptions:
     model_type: str = "fiveStateAsymmetric"
     max_alignment_length_to_sample: int = 50_000_000
     band_width: int = DEFAULT_BAND_WIDTH
-    max_batch_cells: int = 12_000_000
+    # Padded DP cells per E-step batch: ~512 lanes of 3.5kb reads (the
+    # stored-forward kernel's measured sweet spot; the auto kernel policy
+    # flips to checkpoint-recompute when trials push the stored bands
+    # past their HBM budget).
+    max_batch_cells: int = 88_000_000
     seed: int = 0
     # Early-exit when the total log-likelihood improves by less than this.
     tolerance: float = 1e-3
@@ -98,28 +102,20 @@ def _m_step(
 
 
 def _use_multi_em(jobs, band_width: int) -> bool:
-    """Multi-problem lane packing for the E-step: accelerator + short
-    problems (the counts kernels are dynamic-table, so in-training non-flat
-    emissions are fine).  Override with MARGINALIGN_MULTI=on|off."""
+    """Multi-problem lane packing for the E-step.  OFF by default since
+    round 3 (see realign._use_multi_packing: the multi kernels' per-step
+    machinery measured far slower than the step padding it recovers, and
+    ladder quantization now bounds single-lane padding for short reads).
+    MARGINALIGN_MULTI=on re-enables."""
     import os as _os
 
-    mode = _os.environ.get("MARGINALIGN_MULTI", "")
-    if mode == "off":
-        return False
-    if mode == "on":
-        return bool(jobs)
-    from ..ops.dispatch import use_pallas
-    from .realign import MULTI_MAX_PROBLEM_STEPS
-
-    return bool(jobs) and use_pallas() and max(
-        len(j.read_region) + len(j.ref_region) + 1 for j in jobs
-    ) <= MULTI_MAX_PROBLEM_STEPS
+    return _os.environ.get("MARGINALIGN_MULTI", "") == "on" and bool(jobs)
 
 
 def prepare_em_batches(
     jobs: Sequence[RealignJob],
     band_width: int = DEFAULT_BAND_WIDTH,
-    max_batch_cells: int = 12_000_000,
+    max_batch_cells: int = 88_000_000,
 ) -> List[Tuple[str, object, int]]:
     """Pack jobs into device-resident E-step batches ONCE per training run
     (band geometry is iteration-invariant).  Returns

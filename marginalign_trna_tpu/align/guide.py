@@ -232,21 +232,14 @@ MULTI_MAX_GUIDE_STEPS = 512  # multi-pack lanes when every problem fits this
 
 
 def _use_multi_guide(sizes: List[int]) -> bool:
-    """Multi-problem lane packing policy for the guide stage: accelerator +
-    short problems (tRNA-scale reads).  Guide batches are otherwise packed
-    unquantized, so every new input shape costs a fresh kernel compile;
-    packed lanes keep one quantized shape across calls.  Override with
-    MARGINALIGN_MULTI=on|off (same switch as the realign/EM paths)."""
+    """Multi-problem lane packing policy for the guide stage.  OFF by
+    default since round 3 (like realign/caller/EM): single-problem lanes
+    with ladder step quantization reuse compiles across calls and the
+    multi kernels' per-step machinery measured far slower than the step
+    padding it recovers.  MARGINALIGN_MULTI=on re-enables."""
     import os as _os
 
-    mode = _os.environ.get("MARGINALIGN_MULTI", "")
-    if mode == "off":
-        return False
-    if mode == "on":
-        return True
-    from ..ops.dispatch import use_pallas
-
-    return use_pallas() and max(sizes) <= MULTI_MAX_GUIDE_STEPS
+    return _os.environ.get("MARGINALIGN_MULTI", "") == "on"
 
 
 def align_candidates(
@@ -304,7 +297,10 @@ def align_candidates(
                 records.append(rec)
         return records
 
-    batch = pack_banded_batch(reads, windows, width=cfg.band_width, paths=paths)
+    # Ladder quantization (steps + lanes) so repeated guide calls reuse
+    # compiled kernels across varying candidate shapes.
+    batch = pack_banded_batch(reads, windows, width=cfg.band_width,
+                              paths=paths, quantize=True)
     res = banded_nw_auto(params, device_batch(batch))
     pointers = np.asarray(res.pointers)
     final_states = np.asarray(res.final_state)

@@ -204,26 +204,25 @@ MULTI_MAX_PROBLEM_STEPS = 512  # multi-pack lanes when every job fits this
 
 
 def _use_multi_packing(jobs, hmm) -> bool:
-    """Multi-problem lane packing policy: accelerator + short problems +
-    flat gap emissions (all shipped/normalised models).  Override with
-    MARGINALIGN_MULTI=on|off."""
+    """Multi-problem lane packing policy.  OFF by default since round 3:
+    steady-state hardware timing has single-problem lanes with ladder step
+    quantization (pack_banded_batch) at 1.60M tRNA reads/s vs 269k for
+    multi lanes — the multi kernels' per-step machinery costs far more
+    than the step padding it recovers (docs/KERNELS.md round-3 notes).
+    MARGINALIGN_MULTI=on re-enables (short flat-gap jobs only)."""
     import os as _os
 
     mode = _os.environ.get("MARGINALIGN_MULTI", "")
-    if mode == "off":
+    if mode != "on":
         return False
-    from ..ops.dispatch import use_pallas
     from ..ops.fb import make_tables as _mk
     from ..ops.fb_pallas import _flat_gap_consts, static_tables
 
     if not jobs:
         return False
-    if mode != "on":
-        if not use_pallas():
-            return False
-        if max(len(j.read_region) + len(j.ref_region) + 1
-               for j in jobs) > MULTI_MAX_PROBLEM_STEPS:
-            return False
+    if max(len(j.read_region) + len(j.ref_region) + 1
+           for j in jobs) > MULTI_MAX_PROBLEM_STEPS:
+        return False
     return _flat_gap_consts(static_tables(_mk(hmm))) is not None
 
 
@@ -233,7 +232,10 @@ def realigned_ops_for_jobs(
     gap_gamma: float,
     match_gamma: float,
     band_width: int = DEFAULT_BAND_WIDTH,
-    max_batch_cells: int = 12_000_000,
+    # Padded DP cells per device batch.  ~25 B/cell peak on the realign
+    # path (posterior + emission + bm + MEA weight bands) -> ~3GB per
+    # bucket; round-2's 12M default under-filled the chip ~40x.
+    max_batch_cells: int = 128_000_000,
     split_size: int = 0,
 ) -> List[List[Tuple[int, int]]]:
     """Run FB + MEA for every job; returns realigned aligned-region ops.

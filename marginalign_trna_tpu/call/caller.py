@@ -37,7 +37,9 @@ class CallerOptions:
     threshold: float = DEFAULT_THRESHOLD
     no_margin: bool = False
     band_width: int = CALLER_BAND_WIDTH
-    max_batch_cells: int = 12_000_000
+    # Padded DP cells per device batch (~20 B/cell peak on the caller
+    # path; the bucket pipeline pins a window of int8 input streams).
+    max_batch_cells: int = 96_000_000
     # Reference caller-path --splitMatrixBiggerThanThis=100
     # (src/margin/marginCallerLib.py:55); 0 disables splitting.
     split_size: int = 100

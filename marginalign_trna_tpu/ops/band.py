@@ -153,8 +153,10 @@ def pack_banded_batch(
 
     reads[b], refs[b]: int8 code arrays (A=0..T=3, N=4).  paths[b] is an
     optional (path_d, path_i) guide path in prefix coordinates.  With
-    quantize=True, the step count rounds up to a multiple of 1024 and the
-    lane count to a power of two, so repeated calls reuse compiled kernels.
+    quantize=True, the step count rounds up a geometric ladder (powers of
+    two from 128 to 1024, multiples of 1024 beyond) and the lane count to
+    a power of two, so repeated calls reuse compiled kernels while
+    short-read (tRNA-scale) batches stop paying ~5x step padding.
     """
     B0 = len(reads)
     assert len(refs) == B0
@@ -165,7 +167,10 @@ def pack_banded_batch(
         assert pad_steps_to >= D1
         D1 = pad_steps_to
     elif quantize:
-        D1 = -(-D1 // 1024) * 1024
+        if D1 <= 1024:
+            D1 = max(128, 1 << (D1 - 1).bit_length())
+        else:
+            D1 = -(-D1 // 1024) * 1024
     B = pad_batch_to if pad_batch_to is not None else B0
     if pad_batch_to is None and quantize:
         B = 1 << max(3, (B0 - 1).bit_length())
