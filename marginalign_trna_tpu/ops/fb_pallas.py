@@ -2237,6 +2237,525 @@ def _posteriors_circ(st, gc, cdev):
     return logZ, post[:D1]
 
 
+# --------- signed-emission serving (valid lives in the sign bit) ---------
+#
+# The int8 valid stream is information-free given the (premasked) emission
+# stream: encode es = em * valid - (1 - valid), so invalid cells read
+# exactly -1.0 and in-band cells read their emission (>= 0; a genuine zero
+# emission still decodes as valid, which is correct — gap-state validity
+# must not depend on the match emission).  Kernels decode with one compare
+# and one max per diagonal, dropping the valid stream from both passes
+# (2 of the ~29 B/cell the em-mode serving path moves system-wide).
+# "emw" goes further: the backward computes emissions in-kernel from the
+# int8 code streams (like "lean") and WRITES the signed stream for the
+# forward — the XLA emission-precompute pass disappears entirely (another
+# ~7 B/cell and one dispatch), at the price of the one-hot emission
+# expansion sitting in the backward's sequential body.
+
+
+def _make_bwd_kernel_circ_sv(st, gc):
+    """Signed-emission twin of _make_bwd_kernel_circ_first: one es stream
+    replaces (valid, em); valid = es >= 0, emission = max(es, 0)."""
+    T = st[0]
+    ch = _gap_chain_consts(st, gc)
+
+    def kernel(
+        es_ref, fink_ref, find_ref,
+        bm_out_ref, bls_out_ref, zrow_ref,
+        b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
+        bls_ref, cprev_ref, eh1_ref, eh2_ref,
+    ):
+        b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
+        b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
+        i = pl.program_id(0)
+        K = STEP_BLOCK
+
+        @pl.when(i == 0)
+        def _init():
+            zero = jnp.zeros_like(b1_refs[0][:, :])
+            for s in range(_NSTATE):
+                b1_refs[s][:, :] = zero
+                b2_refs[s][:, :] = zero
+            bls_ref[:, :] = jnp.zeros_like(bls_ref)
+            cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+            eh1_ref[:, :] = zero
+            eh2_ref[:, :] = zero
+
+        b1 = [b1_refs[s][:, :] for s in range(_NSTATE)]
+        b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
+        bls = bls_ref[:, :]
+        cprev = cprev_ref[:, :]
+        e1 = eh1_ref[:, :]
+        e2 = eh2_ref[:, :]
+        fink = fink_ref[:, :]
+        find = find_ref[:, :]
+        kidx = jax.lax.broadcasted_iota(jnp.int32, b1[0].shape, 0)
+
+        blk_base = (pl.num_programs(0) - 1 - i) * K
+        for t in range(K):
+            kb = K - 1 - t
+            d = blk_base + kb
+
+            es = es_ref[kb]
+            valid = (es >= 0.0).astype(jnp.float32)
+
+            q = [None] * _NSTATE
+            q[0] = _roll_up(e2 * b2[0])
+            if _bwd_divide_step(kb):
+                q[0] = q[0] / cprev
+            q[1] = b1[1]
+            q[3] = b1[3]
+            q[2] = _roll_up(b1[2])
+            q[4] = _roll_up(b1[4])
+            e2 = e1
+            e1 = jnp.maximum(es, 0.0)
+
+            new = [None] * _NSTATE
+            if ch is not None:
+                sel_k = jnp.where(find == d, fink, -1)  # [1, B]
+                mask = kidx == sel_k
+                acc0 = T[0][0] * q[0]
+                for s in range(1, _NSTATE):
+                    acc0 = acc0 + ch.m0[s - 1] * q[s]
+                new[0] = jnp.where(mask, 1.0, acc0) * valid
+                for s in range(1, _NSTATE):
+                    accs = q[0] + ch.cb[s - 1] * q[s]
+                    new[s] = jnp.where(mask, ch.r[s - 1], accs) * valid
+            else:
+                inj = jnp.where((kidx == fink) & (d == find), 1.0, 0.0)
+                zero_arr = jnp.zeros_like(q[0])
+                for s in range(_NSTATE):
+                    acc = None
+                    for u in range(_NSTATE):
+                        v = T[s][u] * (1.0 if u == 0 else gc[u - 1])
+                        if v == 0.0:
+                            continue
+                        term = q[u] * v
+                        acc = term if acc is None else acc + term
+                    if acc is None:
+                        acc = zero_arr
+                    new[s] = (acc + inj) * valid
+
+            if _bwd_rescale_step(kb):
+                bmax = _max5(new).max(axis=0, keepdims=True)
+                c = jnp.where(bmax > 0, bmax, 1.0)
+                inv_c = 1.0 / c
+                bls = bls + jnp.log(c)
+                cprev = c
+                b_out = [new[s] * inv_c for s in range(_NSTATE)]
+            else:
+                b_out = new
+
+            bm_out_ref[kb] = b_out[0]
+            bls_out_ref[kb] = bls
+
+            b2 = b1
+            b1 = b_out
+
+        if ch is not None:
+            zr = b1[0][0:1]
+            for s in range(1, _NSTATE):
+                zr = zr + T[s][0] * b1[s][0:1]
+            zrow_ref[0] = 0.2 * zr
+        else:
+            zrow_ref[0] = 0.2 * (
+                b1[0][0:1] + b1[1][0:1] + b1[2][0:1] + b1[3][0:1]
+                + b1[4][0:1]
+            )
+
+        for s in range(_NSTATE):
+            b1_refs[s][:, :] = b1[s]
+            b2_refs[s][:, :] = b2[s]
+        bls_ref[:, :] = bls
+        cprev_ref[:, :] = cprev
+        eh1_ref[:, :] = e1
+        eh2_ref[:, :] = e2
+
+    return kernel
+
+
+def _make_fwd_kernel_circ_post_sv(st, gc):
+    """Signed-emission twin of _make_fwd_kernel_circ_post: one es stream
+    replaces (em, valid)."""
+    T = st[0]
+    ch = _gap_chain_consts(st, gc)
+
+    def kernel(
+        es_ref, bm_ref, bls_ref, logZ_ref,
+        post_ref,
+        f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
+        ls_ref, cprev_ref,
+    ):
+        f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
+        f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            zero = jnp.zeros_like(f1_refs[0][:, :])
+            row0 = jax.lax.broadcasted_iota(jnp.int32, zero.shape, 0) == 0
+            for s in range(_NSTATE):
+                pi_s = 0.2 if (ch is None or s == 0) else 0.2 / ch.k[s - 1]
+                f1_refs[s][:, :] = jnp.where(row0, pi_s, 0.0)
+                f2_refs[s][:, :] = zero
+            ls_ref[:, :] = jnp.zeros_like(ls_ref)
+            cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+
+        f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
+        f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
+        ls = ls_ref[:, :]
+        cprev = cprev_ref[:, :]
+        zero_arr = jnp.zeros_like(f1[0])
+        logZ = logZ_ref[:, :]
+
+        def mix(vals, t, coeff=1.0):
+            acc = None
+            for s in range(_NSTATE):
+                v = T[s][t] * coeff
+                if v == 0.0:
+                    continue
+                term = vals[s] * v
+                acc = term if acc is None else acc + term
+            return acc
+
+        def mix_match(vals):
+            if ch is None:
+                m = mix(vals, 0)
+                return m if m is not None else zero_arr
+            acc = T[0][0] * vals[0]
+            for s in range(1, _NSTATE):
+                acc = acc + ch.mcoef[s - 1] * vals[s]
+            return acc
+
+        for kb in range(STEP_BLOCK):
+            es = es_ref[kb]
+            e_match = jnp.maximum(es, 0.0)
+            valid = (es >= 0.0).astype(jnp.float32)
+
+            mix_m = mix_match(f2)
+            if _fwd_divide_step(kb):
+                mix_m = mix_m / cprev
+            if ch is not None:
+                mix_g = [f1[0] + ch.c[t - 1] * f1[t]
+                         for t in range(1, _NSTATE)]
+            else:
+                mix_g = [mix(f1, t, gc[t - 1]) for t in range(1, _NSTATE)]
+                mix_g = [m if m is not None else zero_arr for m in mix_g]
+
+            new = [None] * _NSTATE
+            new[0] = e_match * _roll_down(mix_m)
+            new[1] = mix_g[0] * valid
+            new[3] = mix_g[2] * valid
+            new[2] = _roll_down(mix_g[1]) * valid
+            new[4] = _roll_down(mix_g[3]) * valid
+
+            rescale = _fwd_rescale_step(kb)
+            if rescale:
+                fmax = _max5(new).max(axis=0, keepdims=True)
+                c = jnp.where(fmax > 0, fmax, 1.0)
+                inv_c = 1.0 / c
+                scaled = [new[s] * inv_c for s in range(_NSTATE)]
+            else:
+                scaled = new
+
+            if kb == 0:
+                is_first = i == 0
+                f1_next = [jnp.where(is_first, f1[s], scaled[s])
+                           for s in range(_NSTATE)]
+                f2_next = [jnp.where(is_first, f2[s], f1[s])
+                           for s in range(_NSTATE)]
+                if rescale:  # only when STEP_BLOCK == 1
+                    ls = jnp.where(is_first, ls, ls + jnp.log(c))
+                    cprev = jnp.where(is_first, cprev, c)
+            else:
+                f1_next = scaled
+                f2_next = f1
+                if rescale:
+                    ls = ls + jnp.log(c)
+                    cprev = c
+
+            alpha = jnp.exp(ls + bls_ref[kb] - logZ)  # [1, B]
+            post_ref[kb] = f1_next[0] * bm_ref[kb] * alpha
+            f1, f2 = f1_next, f2_next
+
+        for s in range(_NSTATE):
+            f1_refs[s][:, :] = f1[s]
+            f2_refs[s][:, :] = f2[s]
+        ls_ref[:, :] = ls
+        cprev_ref[:, :] = cprev
+
+    return kernel
+
+
+def _make_bwd_kernel_circ_emw(st, gc):
+    """_make_bwd_kernel_circ_lean plus a signed-emission output stream:
+    the in-kernel emissions are written out as es = em * valid - (1 - valid)
+    for the signed-stream forward, so no pass ever reads a precomputed
+    emission array."""
+    T = st[0]
+    ch = _gap_chain_consts(st, gc)
+    Em = _TableView.from_tuple(st[1])
+
+    def kernel(
+        valid_ref, xb_ref, yb_ref, fink_ref, find_ref,
+        bm_out_ref, bls_out_ref, zrow_ref, es_out_ref,
+        b1_0, b1_1, b1_2, b1_3, b1_4, b2_0, b2_1, b2_2, b2_3, b2_4,
+        bls_ref, cprev_ref, eh1_ref, eh2_ref,
+    ):
+        b1_refs = (b1_0, b1_1, b1_2, b1_3, b1_4)
+        b2_refs = (b2_0, b2_1, b2_2, b2_3, b2_4)
+        i = pl.program_id(0)
+        K = STEP_BLOCK
+
+        @pl.when(i == 0)
+        def _init():
+            zero = jnp.zeros_like(b1_refs[0][:, :])
+            for s in range(_NSTATE):
+                b1_refs[s][:, :] = zero
+                b2_refs[s][:, :] = zero
+            bls_ref[:, :] = jnp.zeros_like(bls_ref)
+            cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+            eh1_ref[:, :] = zero
+            eh2_ref[:, :] = zero
+
+        b1 = [b1_refs[s][:, :] for s in range(_NSTATE)]
+        b2 = [b2_refs[s][:, :] for s in range(_NSTATE)]
+        bls = bls_ref[:, :]
+        cprev = cprev_ref[:, :]
+        e1 = eh1_ref[:, :]
+        e2 = eh2_ref[:, :]
+        fink = fink_ref[:, :]
+        find = find_ref[:, :]
+        kidx = jax.lax.broadcasted_iota(jnp.int32, b1[0].shape, 0)
+
+        blk_base = (pl.num_programs(0) - 1 - i) * K
+        for t in range(K):
+            kb = K - 1 - t
+            d = blk_base + kb
+
+            valid = valid_ref[kb].astype(jnp.float32)
+
+            q = [None] * _NSTATE
+            q[0] = _roll_up(e2 * b2[0])
+            if _bwd_divide_step(kb):
+                q[0] = q[0] / cprev
+            q[1] = b1[1]
+            q[3] = b1[3]
+            q[2] = _roll_up(b1[2])
+            q[4] = _roll_up(b1[4])
+
+            xb = xb_ref[kb].astype(jnp.int32)
+            yb = yb_ref[kb].astype(jnp.int32)
+            e_match_d, _ = _emissions(Em, None, xb, yb)
+            e2 = e1
+            e1 = e_match_d * valid
+            es_out_ref[kb] = e1 - (1.0 - valid)
+
+            new = [None] * _NSTATE
+            if ch is not None:
+                sel_k = jnp.where(find == d, fink, -1)  # [1, B]
+                mask = kidx == sel_k
+                acc0 = T[0][0] * q[0]
+                for s in range(1, _NSTATE):
+                    acc0 = acc0 + ch.m0[s - 1] * q[s]
+                new[0] = jnp.where(mask, 1.0, acc0) * valid
+                for s in range(1, _NSTATE):
+                    accs = q[0] + ch.cb[s - 1] * q[s]
+                    new[s] = jnp.where(mask, ch.r[s - 1], accs) * valid
+            else:
+                inj = jnp.where((kidx == fink) & (d == find), 1.0, 0.0)
+                zero_arr = jnp.zeros_like(q[0])
+                for s in range(_NSTATE):
+                    acc = None
+                    for u in range(_NSTATE):
+                        v = T[s][u] * (1.0 if u == 0 else gc[u - 1])
+                        if v == 0.0:
+                            continue
+                        term = q[u] * v
+                        acc = term if acc is None else acc + term
+                    if acc is None:
+                        acc = zero_arr
+                    new[s] = (acc + inj) * valid
+
+            if _bwd_rescale_step(kb):
+                bmax = _max5(new).max(axis=0, keepdims=True)
+                c = jnp.where(bmax > 0, bmax, 1.0)
+                inv_c = 1.0 / c
+                bls = bls + jnp.log(c)
+                cprev = c
+                b_out = [new[s] * inv_c for s in range(_NSTATE)]
+            else:
+                b_out = new
+
+            bm_out_ref[kb] = b_out[0]
+            bls_out_ref[kb] = bls
+
+            b2 = b1
+            b1 = b_out
+
+        if ch is not None:
+            zr = b1[0][0:1]
+            for s in range(1, _NSTATE):
+                zr = zr + T[s][0] * b1[s][0:1]
+            zrow_ref[0] = 0.2 * zr
+        else:
+            zrow_ref[0] = 0.2 * (
+                b1[0][0:1] + b1[1][0:1] + b1[2][0:1] + b1[3][0:1]
+                + b1[4][0:1]
+            )
+
+        for s in range(_NSTATE):
+            b1_refs[s][:, :] = b1[s]
+            b2_refs[s][:, :] = b2[s]
+        bls_ref[:, :] = bls
+        cprev_ref[:, :] = cprev
+        eh1_ref[:, :] = e1
+        eh2_ref[:, :] = e2
+
+    return kernel
+
+
+def _posteriors_circ_sv(st, gc, cdev):
+    """Signed-emission serving: like _posteriors_circ but the XLA
+    precompute pass emits es = em * valid - (1 - valid) and neither Pallas
+    pass reads a valid stream."""
+    D1, Wp, B = cdev.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    valid = _pad_steps(cdev.valid.astype(jnp.int8), D1K)
+    fink = cdev.fink.astype(jnp.int32)[None, :]
+    find = cdev.final_d.astype(jnp.int32)[None, :]
+
+    xb = _pad_steps(cdev.xb, D1K)
+    yb = _pad_steps(cdev.yb, D1K)
+    vf = valid.astype(jnp.float32)
+    es = _precompute_ematch(st, xb, yb) * vf - (1.0 - vf)
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rev3 = pl.BlockSpec((K, Wp, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rev2 = pl.BlockSpec((K, 1, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    scratch = (
+        [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+        + [pltpu.VMEM((1, B), jnp.float32), pltpu.VMEM((1, B), jnp.float32)]
+    )
+    bwd_scratch = scratch + [
+        pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32),
+    ]
+    bm, bls2, zrow = pl.pallas_call(
+        _make_bwd_kernel_circ_sv(st, gc),
+        grid=(G,),
+        in_specs=[rev3, full, full],
+        out_specs=[rev3, rev2,
+                   pl.BlockSpec((1, 1, B), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, B), jnp.float32),
+        ],
+        scratch_shapes=bwd_scratch,
+        interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
+    )(es, fink, find)
+
+    logZ = (
+        jnp.log(jnp.maximum(zrow[0, 0, :], 1e-30)) + bls2[0, 0, :]
+    )
+
+    post = pl.pallas_call(
+        _make_fwd_kernel_circ_post_sv(st, gc),
+        grid=(G,),
+        in_specs=[blk3, blk3, blk2, full],
+        out_specs=[blk3],
+        out_shape=[jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32)],
+        scratch_shapes=scratch,
+        interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
+    )(es, bm, bls2, logZ[None, :])[0]
+    return logZ, post[:D1]
+
+
+def _posteriors_circ_emw(st, gc, cdev):
+    """Emissions-written serving: the backward computes emissions in-kernel
+    from the int8 code streams (lean-style) and writes the signed stream
+    the forward reads — no XLA emission-precompute pass anywhere."""
+    D1, Wp, B = cdev.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    valid = _pad_steps(cdev.valid.astype(jnp.int8), D1K)
+    xb = _pad_steps(cdev.xb, D1K)
+    yb = _pad_steps(cdev.yb, D1K)
+    fink = cdev.fink.astype(jnp.int32)[None, :]
+    find = cdev.final_d.astype(jnp.int32)[None, :]
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rev3 = pl.BlockSpec((K, Wp, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rev2 = pl.BlockSpec((K, 1, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    scratch = (
+        [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+        + [pltpu.VMEM((1, B), jnp.float32), pltpu.VMEM((1, B), jnp.float32)]
+    )
+    bwd_scratch = scratch + [
+        pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32),
+    ]
+    bm, bls2, zrow, es = pl.pallas_call(
+        _make_bwd_kernel_circ_emw(st, gc),
+        grid=(G,),
+        in_specs=[rev3, rev3, rev3, full, full],
+        out_specs=[rev3, rev2,
+                   pl.BlockSpec((1, 1, B), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   rev3],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
+        ],
+        scratch_shapes=bwd_scratch,
+        interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
+    )(valid, xb, yb, fink, find)
+
+    logZ = (
+        jnp.log(jnp.maximum(zrow[0, 0, :], 1e-30)) + bls2[0, 0, :]
+    )
+
+    post = pl.pallas_call(
+        _make_fwd_kernel_circ_post_sv(st, gc),
+        grid=(G,),
+        in_specs=[blk3, blk3, blk2, full],
+        out_specs=[blk3],
+        out_shape=[jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32)],
+        scratch_shapes=scratch,
+        interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
+    )(es, bm, bls2, logZ[None, :])[0]
+    return logZ, post[:D1]
+
+
 # --------- checkpoint-recompute serving (no stored backward band) ---------
 #
 # The stored serving path writes the backward match band and re-reads it in
@@ -2685,6 +3204,10 @@ def _posteriors_circ_static(st, cdev, mode="lean"):
         return _posteriors_circ_ckpt(st, gc, cdev)
     if mode == "lean":
         return _posteriors_circ_lean(st, gc, cdev)
+    if mode == "sv":
+        return _posteriors_circ_sv(st, gc, cdev)
+    if mode == "emw":
+        return _posteriors_circ_emw(st, gc, cdev)
     return _posteriors_circ(st, gc, cdev)
 
 
@@ -2697,19 +3220,25 @@ def posteriors_pallas_circ(tables: FbTables, cdev, mode=None):
 
     mode (MARGINALIGN_CIRC_SERVE) picks the stream diet:
       - "em":   precomputed f32 emission stream (fastest measured; default)
-      - "lean": emissions in-kernel from the int8 code streams (-16% at
-        equal lanes, but least HBM: the choice when lanes don't fit)
+      - "sv":   like "em" but the emission stream is SIGNED (validity in
+        the sign bit, es = em*valid - (1-valid)) so neither kernel reads
+        the int8 valid stream
+      - "emw":  the backward computes emissions in-kernel from the int8
+        code streams and writes the signed stream for the forward — no
+        XLA emission-precompute pass at all
+      - "lean": emissions in-kernel in BOTH kernels from the int8 code
+        streams (least HBM: the choice when lanes don't fit)
       - "ckpt": lean + checkpoint-recompute — the backward band is never
         written to HBM; the posterior pass replays each block's backward
         from a 48/K B/cell frontier checkpoint (bit-identical numerics).
-        Slowest (-35%: the replay doubles the posterior-pass body) but
-        smallest footprint.
-    All three produce identical posteriors up to float noise; measured
+        Slowest (the replay doubles the posterior-pass body) but smallest
+        footprint.
+    All modes produce identical posteriors up to float noise; measured
     throughputs are recorded in docs/KERNELS.md (round-3 table)."""
     check_uniform_pi(tables)
     if mode is None:
         env = __import__("os").environ.get("MARGINALIGN_CIRC_SERVE", "")
-        if env in ("em", "lean", "ckpt"):
+        if env in ("em", "lean", "ckpt", "sv", "emw"):
             mode = env
         elif __import__("os").environ.get("MARGINALIGN_CIRC_LEAN") == "1":
             mode = "lean"

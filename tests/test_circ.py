@@ -88,7 +88,7 @@ def test_circ_matches_specialised_with_moving_band(rng):
     assert np.allclose(post[ok], np.asarray(post_s)[ok], atol=1e-5)
 
 
-@pytest.mark.parametrize("mode", ["lean", "ckpt"])
+@pytest.mark.parametrize("mode", ["lean", "ckpt", "sv", "emw"])
 def test_circ_stream_diets_match_streamed(rng, mode):
     """The in-kernel-emission (lean) and checkpoint-recompute (ckpt) circ
     paths compute exactly what the emission-streamed circ path does."""
