@@ -81,23 +81,36 @@ def shard_for_host(items: Sequence[T]) -> List[T]:
 
 
 def allreduce_sum_host(*arrays):
-    """Sum host numpy arrays (or floats) across all processes.  Identity in
-    single-process runs; the multi-host equivalent of the reference's
-    pickled-chunk summation (marginCallerLib.py:179-187)."""
+    """Sum host numpy arrays (or floats) across all processes in FULL f64.
+    Identity in single-process runs; the multi-host equivalent of the
+    reference's pickled-chunk summation (marginCallerLib.py:179-187).
+
+    Transport is lossless: the f64 payload crosses the collective as int32
+    words (bit reinterpretation), because ``jnp.asarray(a, jnp.float64)``
+    without jax_enable_x64 silently produces float32 — which would
+    all-reduce EM counts / caller expectations at lower precision than the
+    single-host f64 accumulation path (align/em.py expectation_step).
+    int32 is carried exactly by every backend.  Summation happens on the
+    host in f64 after the gather."""
     import jax
 
     if jax.process_count() == 1:
         return arrays if len(arrays) > 1 else arrays[0]
-    import jax.numpy as jnp
     import numpy as np
     from jax.experimental import multihost_utils
 
     out = []
     for a in arrays:
-        gathered = multihost_utils.process_allgather(
-            jnp.asarray(a, jnp.float64)
-        )
-        summed = np.asarray(gathered).sum(axis=0)
+        arr = np.ascontiguousarray(np.asarray(a, np.float64))
+        words = np.frombuffer(arr.tobytes(), dtype=np.int32)
+        gathered = np.asarray(
+            multihost_utils.process_allgather(words)
+        )  # [nproc, 2*arr.size] int32, bit-exact
+        summed = np.zeros(arr.shape, np.float64)
+        for p in range(gathered.shape[0]):
+            summed += np.frombuffer(
+                np.ascontiguousarray(gathered[p]).tobytes(), dtype=np.float64
+            ).reshape(arr.shape)
         out.append(float(summed) if np.ndim(a) == 0 else summed)
     return tuple(out) if len(out) > 1 else out[0]
 
