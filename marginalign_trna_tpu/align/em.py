@@ -35,6 +35,15 @@ class EmOptions:
     model_type: str = "fiveStateAsymmetric"
     max_alignment_length_to_sample: int = 50_000_000
     band_width: int = DEFAULT_BAND_WIDTH
+    # Split EM DP problems at guide anchors so no side exceeds this
+    # (reference EM realign options --splitMatrixBiggerThanThis=300,
+    # src/margin/marginAlign.py:41); 0 = exact full-length DP.
+    split_size: int = 300
+    # Start trial 0 from the input model instead of a random start; the
+    # remaining trials stay random (reference: useDefaultModelAsStart,
+    # commented out at src/margin/marginAlign.py:49 — semantics
+    # [reconstructed]: seed one trial from the supplied model).
+    use_default_model_as_start: bool = False
     # Padded DP cells per E-step batch: ~512 lanes of 3.5kb reads (the
     # stored-forward kernel's measured sweet spot; the auto kernel policy
     # flips to checkpoint-recompute when trials push the stored bands
@@ -305,10 +314,14 @@ def _tie_gap_emissions(hmm: PairHmm) -> None:
 def _init_trial_hmm(
     options: EmOptions, input_hmm: Optional[PairHmm], trial: int
 ) -> PairHmm:
-    if options.random_start or input_hmm is None:
-        hmm = PairHmm.random(seed=options.seed * 1000 + trial)
-    else:
+    from_input = input_hmm is not None and (
+        not options.random_start
+        or (options.use_default_model_as_start and trial == 0)
+    )
+    if from_input:
         hmm = input_hmm.copy()
+    else:
+        hmm = PairHmm.random(seed=options.seed * 1000 + trial)
     hmm.model_type = MODEL_TYPES[options.model_type]
     if options.jukes_cantor_start is not None:
         r = options.jukes_cantor_start
@@ -422,6 +435,16 @@ def train_em(
     from ..parallel.runtime import allreduce_sum_host, shard_for_host
 
     jobs = shard_for_host(jobs)
+
+    # Anchor splitting (reference EM realign options
+    # --splitMatrixBiggerThanThis=300, src/margin/marginAlign.py:41):
+    # long alignments decompose at guide anchors into independent DP
+    # sub-problems; expected counts sum over segments and the trial
+    # likelihood is the sum of segment logZs.
+    if options.split_size and options.split_size > 0:
+        from .realign import split_jobs_at_anchors
+
+        jobs, _, _ = split_jobs_at_anchors(jobs, options.split_size)
     if psum_fn is None:
         import jax
 
@@ -454,29 +477,20 @@ def train_em(
                              likelihood_history=[])
 
     for trial in range(start_trial, options.trials):
-        model_type_code = MODEL_TYPES[options.model_type]
         if ckpt and trial == ckpt.trial:
             hmm = ckpt.hmm()
             history = list(ckpt.likelihood_history)
             start_iter = ckpt.iteration
             ll = history[-1] if history else -np.inf
+            hmm.model_type = MODEL_TYPES[options.model_type]
+            hmm.apply_model_type_constraints()
+            if options.tie_emissions:
+                _tie_gap_emissions(hmm)
         else:
-            if options.random_start or input_hmm is None:
-                hmm = PairHmm.random(seed=options.seed * 1000 + trial)
-            else:
-                hmm = input_hmm.copy()
+            hmm = _init_trial_hmm(options, input_hmm, trial)
             history = []
             start_iter = 0
             ll = -np.inf
-        hmm.model_type = model_type_code
-        if options.jukes_cantor_start is not None and start_iter == 0:
-            r = options.jukes_cantor_start
-            jc = np.full((4, 4), r / 3.0)
-            np.fill_diagonal(jc, 1.0 - r)
-            hmm.emissions[0] = (jc / jc.sum()).reshape(-1)
-        hmm.apply_model_type_constraints()
-        if options.tie_emissions:
-            _tie_gap_emissions(hmm)
         for it in range(start_iter, options.iterations):
             tc, em, eg, new_ll = expectation_step(batches, hmm, psum_fn)
             hmm = _m_step(hmm, tc, em, eg, options.train_emissions)

@@ -106,8 +106,22 @@ def margin_align_main(argv=None) -> int:
                    default=50_000_000)
     p.add_argument("--emCheckpoint", default=None,
                    help="Checkpoint file for EM training (resume-capable)")
-    p.add_argument("--outputTrialHmms", action="store_true",
-                   help="Write each EM trial's model to <outputModel>.trialN")
+    # The reference defaults outputTrialHmms ON (marginAlign.py:43).
+    p.add_argument("--outputTrialHmms", action="store_true", default=True,
+                   help="Write each EM trial's model to <outputModel>.trialN "
+                        "(default on, like the reference)")
+    p.add_argument("--noOutputTrialHmms", dest="outputTrialHmms",
+                   action="store_false",
+                   help="Don't write per-trial EM models")
+    p.add_argument("--useDefaultModelAsStart", action="store_true",
+                   help="Start EM trial 0 from the input model instead of "
+                        "a random start (reference: useDefaultModelAsStart, "
+                        "marginAlign.py:49)")
+    p.add_argument("--updateTheBand", action="store_true",
+                   help="Accepted for compatibility (reference keeps this "
+                        "commented out, marginAlign.py:50); re-deriving the "
+                        "band during EM is not implemented — a warning is "
+                        "logged and the guide band is kept")
     p.add_argument("--tieEmissions", action="store_true",
                    help="Tie short/long gap-state emissions during EM")
     p.add_argument("--setJukesCantorStartingEmissions", type=float,
@@ -168,7 +182,13 @@ def margin_align_main(argv=None) -> int:
                     args.outputModel if args.outputTrialHmms else None
                 ),
                 jukes_cantor_start=args.setJukesCantorStartingEmissions,
+                use_default_model_as_start=args.useDefaultModelAsStart,
             )
+            if args.updateTheBand:
+                print("--updateTheBand: band re-derivation during EM is "
+                      "not implemented (the reference keeps this option "
+                      "commented out, marginAlign.py:50); keeping the "
+                      "guide band.", file=sys.stderr)
             best = train_em(jobs, opts, input_hmm=hmm,
                             log_fn=lambda s: print(s, file=sys.stderr),
                             checkpoint_path=args.emCheckpoint)

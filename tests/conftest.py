@@ -28,6 +28,25 @@ import pytest
 
 REFERENCE_TESTS = "/root/reference/tests"
 
+# Test tiers (pytest.ini markers): the interpret-mode Pallas modules are
+# ~94% of the suite's wall time, so the in-round gate is
+# `pytest -m fast` (~3 min) and kernel changes run `-m kernels` (~40 min);
+# the full suite stays the round-end gate.
+KERNEL_MODULES = {
+    "test_pallas", "test_circ", "test_multi", "test_wavefront_pallas",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.module.__name__.rsplit(".", 1)[-1]
+        if name in KERNEL_MODULES:
+            item.add_marker(pytest.mark.kernels)
+        else:
+            item.add_marker(pytest.mark.fast)
+        if item.name.startswith("test_long"):
+            item.add_marker(pytest.mark.long)
+
 
 @pytest.fixture(scope="session")
 def rng():

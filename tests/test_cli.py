@@ -60,11 +60,26 @@ def test_margin_align_cli_em(fixtures_dir, tmp_path):
           os.path.join(fixtures_dir, "lessReads.fq"),
           os.path.join(fixtures_dir, "references.fa"),
           out, "--em", "--outputModel", model,
-          "--trials", "1", "--iterations", "3"])
+          "--trials", "1", "--iterations", "3",
+          "--useDefaultModelAsStart", "--updateTheBand"])
     from marginalign_trna_tpu.models.hmm import PairHmm
 
     PairHmm.load(model).check()  # reference checkHmm equivalent
+    # outputTrialHmms defaults ON like the reference (marginAlign.py:43).
+    PairHmm.load(model + ".trial0").check()
     _validate_sam(out, "lessReads.fq", fixtures_dir)
+
+
+def test_margin_align_cli_em_no_trial_hmms(fixtures_dir, tmp_path):
+    out = str(tmp_path / "em2.sam")
+    model = str(tmp_path / "em2.hmm")
+    _run([sys.executable, os.path.join(REPO, "marginAlign"),
+          os.path.join(fixtures_dir, "lessReads.fq"),
+          os.path.join(fixtures_dir, "references.fa"),
+          out, "--em", "--outputModel", model,
+          "--trials", "1", "--iterations", "2", "--noOutputTrialHmms"])
+    assert os.path.exists(model)
+    assert not os.path.exists(model + ".trial0")
 
 
 @pytest.mark.skipif(not LONG, reason="set MARGINALIGN_LONG_TESTS=1")

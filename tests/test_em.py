@@ -160,6 +160,58 @@ def test_em_model_families(rng, model_type, tmp_path):
     assert all(b >= a - 1e-2 for a, b in zip(hist, hist[1:])), hist
 
 
+def test_em_split_at_anchors_matches_unsplit():
+    """EM with the reference's splitMatrixBiggerThanThis=300 (now the
+    EmOptions default; src/margin/marginAlign.py:41) trains to nearly the
+    same parameters as exact full-length DP on longer-than-300 problems.
+    Own fixed-seed rng: the trajectory comparison is data-sensitive."""
+    from marginalign_trna_tpu.align.realign import split_jobs_at_anchors
+
+    rng = np.random.default_rng(42)
+    jobs = _synthetic_jobs(rng, n_pairs=5, length=420, sub_rate=0.12)
+    segs, _, _ = split_jobs_at_anchors(jobs, 300)
+    assert len(segs) > len(jobs)  # the default really splits these
+
+    inp = PairHmm.load(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "marginalign_trna_tpu", "models", "last_hmm_20.txt"))
+    # 10 iterations: split/unsplit trajectories pass through a transient
+    # phase difference around iterations 3-6 (emissions move ~0.15/step
+    # there) before converging to the same optimum.
+    base = dict(trials=1, iterations=10, band_width=15, seed=8,
+                tolerance=0.0, random_start=False)
+    split = train_em(jobs, EmOptions(split_size=300, **base), input_hmm=inp)
+    unsplit = train_em(jobs, EmOptions(split_size=0, **base), input_hmm=inp)
+    assert np.allclose(split.hmm.transitions, unsplit.hmm.transitions,
+                       atol=0.02), (split.hmm.transitions,
+                                    unsplit.hmm.transitions)
+    assert np.isclose(split.likelihood, unsplit.likelihood, rtol=0.01)
+    # Compare the PIPELINE artifact (post-EM normalisation flattens the
+    # under-determined gap-emission rows, marginAlignLib.py:227-232 —
+    # raw low-occupancy gap rows are noise-level between any two
+    # near-identical trainings).
+    ns = normalise_trained_hmm(split.hmm)
+    nu = normalise_trained_hmm(unsplit.hmm)
+    assert np.allclose(ns.emissions, nu.emissions, atol=0.02)
+
+
+def test_em_use_default_model_as_start(rng):
+    """useDefaultModelAsStart: trial 0 starts from the input model (the
+    remaining trials stay random); with trials=1 the result equals a
+    noRandomStart run, and differs from a pure random start."""
+    jobs = _synthetic_jobs(rng, n_pairs=4, length=30)
+    inp = PairHmm.random(seed=42)
+    base = dict(trials=1, iterations=1, band_width=15, seed=6,
+                tolerance=0.0)
+    a = train_em(jobs, EmOptions(use_default_model_as_start=True, **base),
+                 input_hmm=inp)
+    b = train_em(jobs, EmOptions(random_start=False, **base), input_hmm=inp)
+    assert np.allclose(a.hmm.transitions, b.hmm.transitions, atol=1e-6)
+    assert np.allclose(a.hmm.emissions, b.hmm.emissions, atol=1e-6)
+    c = train_em(jobs, EmOptions(**base), input_hmm=inp)
+    assert not np.allclose(c.hmm.transitions, a.hmm.transitions, atol=1e-3)
+
+
 def test_em_option_surface(rng, tmp_path):
     """outputTrialHmms / tieEmissions / Jukes-Cantor starts / XML dump."""
     jobs = _synthetic_jobs(rng, n_pairs=4, length=30)
