@@ -9,7 +9,7 @@ into its stream floor and its body:
   twin_bwd     reads em f32 + valid i8, writes bm f32   (9 B/cell), body=add
   twin_fwd     reads em + valid + bm, writes post      (13 B/cell), body=add
   twin_fwd_chainN  same streams + N-deep dependent op chain per diagonal
-  ematch_pass  the XLA emission-precompute twin (2 i8 reads -> f32 write)
+  ematch_pass  the XLA emission-precompute twin (3 i8 reads -> f32 write)
   serve        the production circ-em serving call (baseline)
 
 If sum(twin walls) ~= serve wall, the kernels are DMA-bound and byte diets

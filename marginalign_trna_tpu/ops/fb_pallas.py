@@ -3233,8 +3233,9 @@ def posteriors_pallas_circ(tables: FbTables, cdev, mode=None):
         from a 48/K B/cell frontier checkpoint (bit-identical numerics).
         Slowest (the replay doubles the posterior-pass body) but smallest
         footprint.
-    All modes produce identical posteriors up to float noise; measured
-    throughputs are recorded in docs/KERNELS.md (round-3 table)."""
+    All modes produce identical posteriors up to float noise; em/lean/ckpt
+    throughputs are recorded in docs/KERNELS.md (round-3 table); sv/emw
+    are measured by benchmarks/pipelined_sweep.py."""
     check_uniform_pi(tables)
     if mode is None:
         env = __import__("os").environ.get("MARGINALIGN_CIRC_SERVE", "")

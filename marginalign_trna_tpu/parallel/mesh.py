@@ -177,6 +177,35 @@ def make_sharded_fb(mesh: Mesh, want_posteriors: bool = True):
     return jax.jit(lambda tables, batch: _fb(tuple(tables), batch))
 
 
+def make_sharded_caller_expectations(mesh: Mesh, width: int, rg: int):
+    """Mesh-sharded caller expectation merge: each device reduces its lane
+    shard of the posterior band into a [rg, 4] partial (the banded
+    monotone segment-sum of ops/expectations.py) and the partials merge
+    with one psum over the data axis — the reference's pickled-chunk
+    summation (src/margin/marginCallerLib.py:179-187) as a collective.
+
+    Inputs mirror ops.expectations._expectations_device, lane-sharded on
+    the last axis: post/valid/yb [D1, Wp, B], lo [D1, B], e1 [VE, B]."""
+    from ..ops.expectations import _expectations_device
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, "data"), P(None, None, "data"),
+            P(None, None, "data"), P(None, "data"), P(None, "data"),
+        ),
+        out_specs=P(),
+    )
+    def _exp(post, valid, yb, lo, e1):
+        local = _expectations_device(
+            post, valid, yb, lo, e1, width=width, rg=rg
+        )
+        return jax.lax.psum(local, "data")
+
+    return jax.jit(_exp)
+
+
 def pad_batch_lanes(batch_np, n_devices: int):
     """Round the packed batch's lane count up to a multiple of n_devices
     (shard_map needs even sharding)."""

@@ -119,9 +119,12 @@ def test_circ_ckpt_matches_oracle(rng):
     assert np.allclose(post[ok], np.asarray(ref.posteriors)[ok], atol=2e-4)
 
 
-def test_circ_generic_branch_non_chain_model(rng):
+@pytest.mark.parametrize("mode", ["em", "sv", "emw"])
+def test_circ_generic_branch_non_chain_model(rng, mode):
     """A flat-gap model whose transitions break the gap-chain pattern
-    exercises the circ kernels' generic (non-gap-chain) branch."""
+    exercises the circ kernels' generic (non-gap-chain) branch — in the
+    default mode and in the sv/emw signed-emission kernels, which carry
+    their own copy of that branch."""
     import jax.numpy as jnp
 
     from marginalign_trna_tpu.ops.fb_pallas import (
@@ -141,7 +144,9 @@ def test_circ_generic_branch_non_chain_model(rng):
 
     ref = forward_backward(tables, device_batch(batch),
                            want_posteriors=True)
-    logZ, post_c = posteriors_pallas_circ(tables, circ_device_batch(batch))
+    logZ, post_c = posteriors_pallas_circ(
+        tables, circ_device_batch(batch), mode=mode
+    )
     assert np.allclose(np.asarray(logZ)[:3], np.asarray(ref.logZ)[:3],
                        rtol=1e-4, atol=1e-4)
     post = circ_to_rel(np.asarray(post_c), batch)

@@ -109,6 +109,42 @@ def _hmm_from(t, e):
     return h
 
 
+def test_sharded_caller_expectation_merge_matches_unsharded(mesh, rng):
+    """make_sharded_caller_expectations: lane-sharded segment-sum partials
+    psummed over the mesh == the single-device band_expectations result."""
+    from marginalign_trna_tpu.ops.expectations import (
+        band_expectations, run_boundaries,
+    )
+    from marginalign_trna_tpu.parallel.mesh import (
+        make_sharded_caller_expectations,
+    )
+
+    hmm = PairHmm.random(seed=11)
+    reads, refs = _random_jobs(rng, 16)
+    batch = pad_batch_lanes(
+        pack_banded_batch(reads, refs, width=16), len(jax.devices())
+    )
+    tables = make_tables(hmm)
+    dev = device_batch(batch)
+    res = forward_backward(tables, dev, want_posteriors=True)
+
+    span = int(batch.n.max())
+    offsets = (np.arange(batch.batch) * span).astype(np.int64)
+    total = span * batch.batch
+    rg = -(-total // 512) * 512
+    e1 = run_boundaries(batch, offsets, rg, batch.batch)
+    merge = make_sharded_caller_expectations(mesh, batch.width, rg)
+    got = np.asarray(merge(
+        res.posteriors,
+        jax.numpy.asarray(batch.valid),
+        jax.numpy.asarray(batch.yb),
+        jax.numpy.asarray(batch.lo),
+        jax.numpy.asarray(e1),
+    ))[:total]
+    want = band_expectations(res.posteriors, batch, offsets, total)
+    assert np.allclose(got, want, atol=1e-4)
+
+
 def test_two_process_distributed_em_and_caller_reduce(tmp_path):
     """REAL 2-process jax.distributed run on CPU (SURVEY.md §4: multi-host
     tests via jax.distributed): spawn two worker processes against a
