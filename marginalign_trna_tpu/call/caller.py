@@ -176,11 +176,19 @@ def accumulate_expectations(
 
         def _run(b=batch, off=offsets, nb=len(bucket)):
             # The posterior band stays on device; only the [total, 4]
-            # expectation tensor crosses to the host.
-            from ..ops.dispatch import make_fb_device_batch
+            # expectation tensor crosses to the host.  On the fused path
+            # (dispatch.use_fused_caller) the band never exists at all —
+            # the forward kernel accumulates the expectations in VMEM.
+            from ..ops.dispatch import make_fb_device_batch, use_fused_caller
             from ..ops.fb import CircDeviceBatch
 
             dev = make_fb_device_batch(b)
+            if isinstance(dev, CircDeviceBatch) and use_fused_caller():
+                from ..ops.expectations import band_expectations_cx
+
+                return band_expectations_cx(
+                    tables, b, dev, off, total, n_real=nb, as_device=True,
+                )
             _, post_dev = fb_posteriors(tables, dev)
             if isinstance(dev, CircDeviceBatch):
                 from ..ops.expectations import band_expectations_circ

@@ -442,6 +442,46 @@ def circular_streams(batch: BandedBatch):
     return xb_c, yb_c, valid_c, fink
 
 
+def circ_flush_rows(batch: BandedBatch, pad_to: int) -> np.ndarray:
+    """fr [pad_to, B] int32: per-diagonal flush row for the fused
+    ref-position accumulators (fb_pallas cx/mw kernels); -1 = no flush.
+
+    A reference position j leaves the band window at the first diagonal d
+    with gu(d) = d - lo(d) = j + width; gu steps exactly when lo does NOT,
+    and the completed position then sits at circular row
+    (lo(d) + width) mod Wp of the rolled accumulator frame (see
+    fb_pallas._make_fwd_kernel_circ_cx).  Beyond the packed steps, lo is
+    edge-replicated so gu keeps stepping and the window keeps draining."""
+    D1, B = batch.lo.shape
+    lo = batch.lo.astype(np.int64)
+    if pad_to > D1:
+        lo = np.concatenate(
+            [lo, np.repeat(lo[-1:, :], pad_to - D1, axis=0)], axis=0
+        )
+    stepped = np.zeros((pad_to, B), dtype=bool)
+    stepped[1:] = lo[1:] == lo[:-1]  # gu steps iff lo does not
+    fr = np.where(stepped, (lo + batch.width) % batch.wp, -1)
+    return fr.astype(np.int32)
+
+
+def circ_row_flush_rows(batch: BandedBatch, pad_to: int) -> np.ndarray:
+    """frr [pad_to, B] int32: per-diagonal flush row for the fused
+    READ-position accumulators (row sums; fb_pallas mw kernel); -1 = no
+    flush.  Read position i leaves the band at the first diagonal d with
+    lo(d) = i + 1; its accumulator row is its fixed circular row
+    i mod Wp = (lo(d) - 1) mod Wp."""
+    D1, B = batch.lo.shape
+    lo = batch.lo.astype(np.int64)
+    if pad_to > D1:
+        lo = np.concatenate(
+            [lo, np.repeat(lo[-1:, :], pad_to - D1, axis=0)], axis=0
+        )
+    stepped = np.zeros((pad_to, B), dtype=bool)
+    stepped[1:] = lo[1:] != lo[:-1]
+    frr = np.where(stepped, (lo - 1) % batch.wp, -1)
+    return frr.astype(np.int32)
+
+
 def circ_to_rel(values_c: np.ndarray, batch: BandedBatch) -> np.ndarray:
     """Convert a circular-layout [D1, Wp, B] per-cell array (e.g. the
     posterior band) back to the band-relative layout: rel[d, k] =

@@ -37,6 +37,20 @@ def use_circ() -> bool:
     return use_pallas()
 
 
+def use_fused_caller() -> bool:
+    """Fused caller serving (fb_pallas cx kernels): the forward pass
+    accumulates reference-position base expectations in VMEM and the
+    posterior band never reaches HBM.  Default on wherever the circular
+    Pallas path runs; MARGINALIGN_CALLER_FUSED=off restores the
+    posterior-band + segment-sum path."""
+    env = os.environ.get("MARGINALIGN_CALLER_FUSED", "").lower()
+    if env in ("on", "1"):
+        return True
+    if env in ("off", "0"):
+        return False
+    return use_pallas() and use_circ()
+
+
 def make_fb_device_batch(batch):
     """Layout-appropriate device streams for fb_posteriors (a
     CircDeviceBatch on the circular path, else a DeviceBatch)."""

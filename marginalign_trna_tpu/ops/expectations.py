@@ -176,6 +176,108 @@ def band_expectations_host(
     return exp
 
 
+# --------------------- fused-kernel assembly (cx serving) -----------------
+#
+# The cx kernel (fb_pallas._make_fwd_kernel_circ_cx) streams each
+# completed reference position's 4-code expectation totals out at its
+# flush diagonal and leaves the last window's positions in accumulator
+# tails.  Assembly into [total_ref_len, 4] is then one gather per code
+# from the flushed stream plus one from the tail — no cumsums, no band
+# re-read.
+
+
+def fused_expectation_indices(
+    batch: BandedBatch,
+    ref_offsets: np.ndarray,
+    rg: int,
+    n_real: int,
+    d1k: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(df, ti) [rg, B] int32 gather indices for _fused_assemble.
+
+    For global position v on lane b (local j = v - off + 1 in [1, n]):
+    its completed total was flushed at the first diagonal d with
+    gu(d) = d - lo(d) = j + width (df), or — if gu never reaches that —
+    it sits in the tail accumulator at row (d1k - 1 - j) mod Wp (ti).
+    Out-of-window/padding entries point at the appended zero slots
+    (df = d1k, ti = Wp)."""
+    D1, B = batch.lo.shape
+    W = batch.width
+    Wp = batch.wp
+    df = np.full((rg, B), d1k, dtype=np.int32)
+    ti = np.full((rg, B), Wp, dtype=np.int32)
+    base = np.arange(d1k, dtype=np.int64)
+    vs = np.arange(rg, dtype=np.int64)
+    for b in range(n_real):
+        lo_b = batch.lo[:, b].astype(np.int64)
+        if d1k > D1:
+            lo_b = np.concatenate(
+                [lo_b, np.full(d1k - D1, lo_b[-1], np.int64)]
+            )
+        gu = base - lo_b
+        n = int(batch.n[b])
+        j = vs - int(ref_offsets[b]) + 1
+        inside = (j >= 1) & (j <= n)
+        e = np.searchsorted(gu, j + W, side="left")
+        e_cl = np.minimum(e, d1k - 1)
+        flushed = inside & (e < d1k) & (gu[e_cl] == j + W)
+        df[:, b] = np.where(flushed, e_cl, d1k)
+        in_tail = inside & ~flushed
+        ti[:, b] = np.where(in_tail, (d1k - 1 - j) % Wp, Wp)
+    return df, ti
+
+
+@jax.jit
+def _fused_assemble(fl, tails, df, ti):
+    """[rg, 4] from the cx kernel outputs.
+
+    fl [4, D1K, B] flushed stream, tails [4, Wp, B], df/ti [rg, B] gather
+    indices (sentinels = appended zero slots)."""
+    B = fl.shape[2]
+    flz = jnp.concatenate(
+        [fl, jnp.zeros((4, 1, B), fl.dtype)], axis=1
+    )
+    tz = jnp.concatenate(
+        [tails, jnp.zeros((4, 1, B), tails.dtype)], axis=1
+    )
+
+    def per_code(c):
+        g = jnp.take_along_axis(flz[c], df, axis=0)
+        g = g + jnp.take_along_axis(tz[c], ti, axis=0)
+        return g.sum(axis=1)
+
+    out = jax.lax.map(per_code, jnp.arange(4))
+    return out.T
+
+
+def band_expectations_cx(
+    tables,
+    batch: BandedBatch,
+    cdev,
+    ref_offsets: np.ndarray,
+    total_ref_len: int,
+    n_real: Optional[int] = None,
+    as_device: bool = False,
+):
+    """[total_ref_len, 4] expected base counts via the FUSED serving
+    kernel: forward-backward + expectation accumulation in one pass, the
+    posterior band never stored (fb_pallas.posteriors_expectations_
+    pallas_circ).  Device-call-compatible with band_expectations_circ."""
+    from .band import circ_flush_rows
+    from .fb_pallas import STEP_BLOCK, posteriors_expectations_pallas_circ
+
+    n_real = batch.batch if n_real is None else n_real
+    rg = _round_up(max(total_ref_len, 1), 512)
+    d1k = _round_up(batch.num_steps, STEP_BLOCK)
+    fr = circ_flush_rows(batch, d1k)
+    _, fl, tails = posteriors_expectations_pallas_circ(tables, cdev, fr)
+    df, ti = fused_expectation_indices(batch, ref_offsets, rg, n_real, d1k)
+    out = _fused_assemble(fl, tails, jnp.asarray(df), jnp.asarray(ti))
+    if as_device:
+        return out
+    return np.asarray(out)[:total_ref_len]
+
+
 # ----------------------- multi-problem lanes (short-read packing) ---------
 
 

@@ -2756,6 +2756,294 @@ def _posteriors_circ_emw(st, gc, cdev):
     return logZ, post[:D1]
 
 
+# --------- fused posterior consumers (caller expectations, MEA weights) ---
+#
+# The serving path used to write the posterior band to HBM and re-read it
+# in the consumers (caller base expectations via the banded segment-sum,
+# MEA row/col gap weights), costing ~8+ B/cell plus the consumers' own
+# cumsum/gather traffic.  Both consumers are position-indexed reductions,
+# and in the circular layout they fold INTO the posterior kernel:
+#
+# - A REFERENCE position j sits at circular row (d - j) mod Wp, which
+#   advances by exactly one row per diagonal — so a [Wp, B] accumulator
+#   that rolls down once per diagonal stays frame-aligned, and
+#   acc[r] += post[r] accumulates every position's run with no permutes.
+#   Position j completes (leaves the band window) at the first diagonal
+#   with gu(d) = d - lo(d) = j + W; at most ONE position completes per
+#   diagonal, at row (lo(d) + W) mod Wp (the band.circ_flush_rows
+#   stream), so completed totals stream out as [K, 1, B] blocks —
+#   16 bytes per diagonal-lane for all four base codes (~0.8 B/cell at
+#   W=21) instead of the 4 B/cell posterior band plus consumer reads.
+# - A READ position i is row-stable in the circular layout (r = i mod
+#   Wp), so row sums need no rolling; position i completes when the band
+#   moves past it (lo steps), at row (lo - 1) mod Wp
+#   (band.circ_row_flush_rows).
+#
+# Positions still in the window at the last diagonal drain into [Wp, B]
+# accumulator-tail outputs, written once on the final grid step.  The
+# host precomputes gather indices from the flushed streams/tails into
+# dense [refLen, 4] / per-position arrays (ops/expectations.py).
+
+
+def _make_fwd_kernel_circ_cx(st, gc):
+    """Caller-fused signed-emission forward: the posterior band is never
+    written — per-reference-position expected base counts accumulate in
+    four rolling VMEM accumulators (one per base code) and only the
+    per-diagonal completed totals plus the final accumulator tails leave
+    the kernel.  Replaces cPecanRealign --outputAllPosteriorProbs plus
+    the reference's per-chunk expectation accumulation
+    (src/margin/marginCallerLib.py:54-74) in one pass."""
+    T = st[0]
+    ch = _gap_chain_consts(st, gc)
+
+    def kernel(
+        es_ref, yb_ref, fr_ref, bm_ref, bls_ref, logZ_ref,
+        fl0_ref, fl1_ref, fl2_ref, fl3_ref,
+        t0_ref, t1_ref, t2_ref, t3_ref,
+        f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
+        ls_ref, cprev_ref, a0_ref, a1_ref, a2_ref, a3_ref,
+    ):
+        f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
+        f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
+        fl_refs = (fl0_ref, fl1_ref, fl2_ref, fl3_ref)
+        tail_refs = (t0_ref, t1_ref, t2_ref, t3_ref)
+        acc_refs = (a0_ref, a1_ref, a2_ref, a3_ref)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            zero = jnp.zeros_like(f1_refs[0][:, :])
+            row0 = jax.lax.broadcasted_iota(jnp.int32, zero.shape, 0) == 0
+            for s in range(_NSTATE):
+                pi_s = 0.2 if (ch is None or s == 0) else 0.2 / ch.k[s - 1]
+                f1_refs[s][:, :] = jnp.where(row0, pi_s, 0.0)
+                f2_refs[s][:, :] = zero
+            ls_ref[:, :] = jnp.zeros_like(ls_ref)
+            cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+            for c in range(4):
+                acc_refs[c][:, :] = zero
+
+        f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
+        f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
+        acc = [acc_refs[c][:, :] for c in range(4)]
+        ls = ls_ref[:, :]
+        cprev = cprev_ref[:, :]
+        zero_arr = jnp.zeros_like(f1[0])
+        logZ = logZ_ref[:, :]
+        kidx = jax.lax.broadcasted_iota(jnp.int32, zero_arr.shape, 0)
+
+        def mix(vals, t, coeff=1.0):
+            out = None
+            for s in range(_NSTATE):
+                v = T[s][t] * coeff
+                if v == 0.0:
+                    continue
+                term = vals[s] * v
+                out = term if out is None else out + term
+            return out
+
+        def mix_match(vals):
+            if ch is None:
+                m = mix(vals, 0)
+                return m if m is not None else zero_arr
+            out = T[0][0] * vals[0]
+            for s in range(1, _NSTATE):
+                out = out + ch.mcoef[s - 1] * vals[s]
+            return out
+
+        for kb in range(STEP_BLOCK):
+            es = es_ref[kb]
+            e_match = jnp.maximum(es, 0.0)
+            valid = (es >= 0.0).astype(jnp.float32)
+
+            mix_m = mix_match(f2)
+            if _fwd_divide_step(kb):
+                mix_m = mix_m / cprev
+            if ch is not None:
+                mix_g = [f1[0] + ch.c[t - 1] * f1[t]
+                         for t in range(1, _NSTATE)]
+            else:
+                mix_g = [mix(f1, t, gc[t - 1]) for t in range(1, _NSTATE)]
+                mix_g = [m if m is not None else zero_arr for m in mix_g]
+
+            new = [None] * _NSTATE
+            new[0] = e_match * _roll_down(mix_m)
+            new[1] = mix_g[0] * valid
+            new[3] = mix_g[2] * valid
+            new[2] = _roll_down(mix_g[1]) * valid
+            new[4] = _roll_down(mix_g[3]) * valid
+
+            rescale = _fwd_rescale_step(kb)
+            if rescale:
+                fmax = _max5(new).max(axis=0, keepdims=True)
+                c = jnp.where(fmax > 0, fmax, 1.0)
+                inv_c = 1.0 / c
+                scaled = [new[s] * inv_c for s in range(_NSTATE)]
+            else:
+                scaled = new
+
+            if kb == 0:
+                is_first = i == 0
+                f1_next = [jnp.where(is_first, f1[s], scaled[s])
+                           for s in range(_NSTATE)]
+                f2_next = [jnp.where(is_first, f2[s], f1[s])
+                           for s in range(_NSTATE)]
+                if rescale:  # only when STEP_BLOCK == 1
+                    ls = jnp.where(is_first, ls, ls + jnp.log(c))
+                    cprev = jnp.where(is_first, cprev, c)
+            else:
+                f1_next = scaled
+                f2_next = f1
+                if rescale:
+                    ls = ls + jnp.log(c)
+                    cprev = c
+
+            alpha = jnp.exp(ls + bls_ref[kb] - logZ)  # [1, B]
+            post = f1_next[0] * bm_ref[kb] * alpha
+            if kb == 0:
+                # The origin cell (d = 0, row 0) holds the start
+                # distribution and emits nothing — exclude it.
+                post = jnp.where((i == 0) & (kidx == 0), 0.0, post)
+
+            # Advance the accumulator frame (position j moves one row
+            # down per diagonal), flush the completed position's row,
+            # then add this diagonal's contributions.
+            fr = fr_ref[kb]  # [1, B] int32; -1 = nothing completes
+            fmask = kidx == fr
+            yb = yb_ref[kb]
+            for c in range(4):
+                rolled = _roll_down(acc[c])
+                fl_refs[c][kb] = jnp.sum(
+                    jnp.where(fmask, rolled, 0.0), axis=0, keepdims=True
+                )
+                acc[c] = jnp.where(fmask, 0.0, rolled) + jnp.where(
+                    yb == c, post, 0.0
+                )
+
+            f1, f2 = f1_next, f2_next
+
+        for s in range(_NSTATE):
+            f1_refs[s][:, :] = f1[s]
+            f2_refs[s][:, :] = f2[s]
+        ls_ref[:, :] = ls
+        cprev_ref[:, :] = cprev
+        for c in range(4):
+            acc_refs[c][:, :] = acc[c]
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _tails():
+            for c in range(4):
+                tail_refs[c][:, :] = acc_refs[c][:, :]
+
+    return kernel
+
+
+def _posteriors_circ_cx(st, gc, cdev, fr):
+    """Caller-fused serving: emw backward (writes the signed emission
+    stream, no precompute pass) + cx forward (no posterior band output —
+    fused expectation accumulation).  Returns
+    (logZ [B], fl [4, D1K, B] flushed completed-position totals,
+    tails [4, Wp, B] end-of-stream accumulators)."""
+    D1, Wp, B = cdev.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    valid = _pad_steps(cdev.valid.astype(jnp.int8), D1K)
+    xb = _pad_steps(cdev.xb, D1K)
+    yb = _pad_steps(cdev.yb, D1K)
+    fink = cdev.fink.astype(jnp.int32)[None, :]
+    find = cdev.final_d.astype(jnp.int32)[None, :]
+    fr3 = fr[:, None, :]  # [D1K, 1, B]
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rev3 = pl.BlockSpec((K, Wp, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rev2 = pl.BlockSpec((K, 1, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    tail_spec = pl.BlockSpec((Wp, B), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    scratch = (
+        [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+        + [pltpu.VMEM((1, B), jnp.float32), pltpu.VMEM((1, B), jnp.float32)]
+    )
+    bwd_scratch = scratch + [
+        pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32),
+    ]
+    bm, bls2, zrow, es = pl.pallas_call(
+        _make_bwd_kernel_circ_emw(st, gc),
+        grid=(G,),
+        in_specs=[rev3, rev3, rev3, full, full],
+        out_specs=[rev3, rev2,
+                   pl.BlockSpec((1, 1, B), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   rev3],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
+        ],
+        scratch_shapes=bwd_scratch,
+        interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
+    )(valid, xb, yb, fink, find)
+
+    logZ = (
+        jnp.log(jnp.maximum(zrow[0, 0, :], 1e-30)) + bls2[0, 0, :]
+    )
+
+    cx_scratch = scratch + [
+        pltpu.VMEM((Wp, B), jnp.float32) for _ in range(4)
+    ]
+    outs = pl.pallas_call(
+        _make_fwd_kernel_circ_cx(st, gc),
+        grid=(G,),
+        in_specs=[blk3, blk3, blk2, blk3, blk2, full],
+        out_specs=[blk2, blk2, blk2, blk2,
+                   tail_spec, tail_spec, tail_spec, tail_spec],
+        out_shape=(
+            [jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32)
+             for _ in range(4)]
+            + [jax.ShapeDtypeStruct((Wp, B), jnp.float32)
+               for _ in range(4)]
+        ),
+        scratch_shapes=cx_scratch,
+        interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
+    )(es, yb, fr3, bm, bls2, logZ[None, :])
+    fl = jnp.stack([outs[c][:, 0, :] for c in range(4)])   # [4, D1K, B]
+    tails = jnp.stack(list(outs[4:8]))                     # [4, Wp, B]
+    return logZ, fl, tails
+
+
+@functools.partial(jax.jit, static_argnames=("st",))
+def _posteriors_circ_cx_static(st, cdev, fr):
+    gc = _flat_gap_consts(st)
+    assert gc is not None, "circular path needs flat gap emissions"
+    return _posteriors_circ_cx(st, gc, cdev, fr)
+
+
+def posteriors_expectations_pallas_circ(tables: FbTables, cdev, fr):
+    """Fused caller serving over a fb.CircDeviceBatch: one FB pass whose
+    forward accumulates per-reference-position expected base counts
+    in-kernel (no posterior band in HBM).  fr is the
+    band.circ_flush_rows stream padded to the kernel step count.
+    Returns (logZ [B], fl [4, D1K, B], tails [4, Wp, B]); assemble with
+    ops.expectations.band_expectations_cx."""
+    check_uniform_pi(tables)
+    return _posteriors_circ_cx_static(
+        static_tables(tables), cdev, jnp.asarray(fr)
+    )
+
+
 # --------- checkpoint-recompute serving (no stored backward band) ---------
 #
 # The stored serving path writes the backward match band and re-reads it in

@@ -154,6 +154,68 @@ def test_circ_generic_branch_non_chain_model(rng, mode):
     assert np.allclose(post[ok], np.asarray(ref.posteriors)[ok], atol=2e-4)
 
 
+def test_fused_cx_expectations_match_host_oracle(rng):
+    """The fused caller serving path (cx kernel: expectations accumulated
+    in rolling VMEM scratch, flushed one position per diagonal, no
+    posterior band in HBM) reproduces the host np.add.at oracle."""
+    from marginalign_trna_tpu.ops.expectations import (
+        band_expectations_cx, band_expectations_host,
+    )
+    from marginalign_trna_tpu.ops.fb import forward_backward
+
+    hmm = PairHmm.load(REF_MAPPERS + "/last_hmm_20.txt")
+    n = 80
+    x = rng.integers(0, 4, size=n).astype(np.int8)
+    y = np.concatenate([x[:40], x[50:]])  # moving band (deletion)
+    pd, pi = path_from_cigar([(0, 40), (2, 10), (0, 30)])
+    x2 = rng.integers(0, 4, size=60).astype(np.int8)
+    y2 = rng.integers(0, 4, size=55).astype(np.int8)
+    x3 = rng.integers(0, 4, size=33).astype(np.int8)
+    y3 = np.concatenate(
+        [x3[:20], rng.integers(0, 4, size=9).astype(np.int8), x3[20:]]
+    )  # insertion
+    pd3, pi3 = path_from_cigar([(0, 20), (1, 9), (0, 13)])
+    batch = pack_banded_batch(
+        [y, y2, y3], [x, x2, x3], width=21,
+        paths=[(pd, pi), None, (pd3, pi3)], pad_batch_to=4,
+    )
+    tables = make_tables(hmm)
+    offsets = np.array([0, 90, 160, 0], dtype=np.int64)
+    total = 200
+
+    res = forward_backward(tables, device_batch(batch),
+                           want_posteriors=True)
+    want = band_expectations_host(
+        np.asarray(res.posteriors), batch, offsets, total, n_real=3
+    )
+    got = band_expectations_cx(
+        tables, batch, circ_device_batch(batch), offsets, total, n_real=3
+    )
+    assert got.shape == (total, 4)
+    assert np.allclose(got, want, atol=2e-3), (
+        np.abs(got - want).max()
+    )
+
+
+def test_fused_cx_logZ_matches_engine(rng):
+    """The cx pass's logZ (from the emw backward) matches the engine."""
+    from marginalign_trna_tpu.ops.band import circ_flush_rows
+    from marginalign_trna_tpu.ops.fb_pallas import (
+        STEP_BLOCK, posteriors_expectations_pallas_circ,
+    )
+
+    hmm, batch = _mixed_batch(rng)
+    tables = make_tables(hmm)
+    ref = forward_backward(tables, device_batch(batch),
+                           want_posteriors=False)
+    d1k = -(-batch.num_steps // STEP_BLOCK) * STEP_BLOCK
+    logZ, _, _ = posteriors_expectations_pallas_circ(
+        tables, circ_device_batch(batch), circ_flush_rows(batch, d1k)
+    )
+    assert np.allclose(np.asarray(logZ)[:3], np.asarray(ref.logZ)[:3],
+                       rtol=1e-4, atol=1e-4)
+
+
 def test_circ_to_rel_device_matches_host(rng):
     """The device gather used by the realign pipeline reproduces the host
     circ_to_rel exactly."""
@@ -193,6 +255,40 @@ def test_circ_band_expectations_match_host(rng):
     exp_h = band_expectations_host(post_rel, batch, offsets, total,
                                    n_real=2)
     assert np.allclose(exp_c, exp_h, atol=1e-5)
+
+
+def test_fused_caller_matches_unfused(tmp_path, monkeypatch):
+    """End-to-end caller consistency: the fused cx serving path (no
+    posterior band) calls the same variants as the posterior-band +
+    segment-sum circ path, Pallas interpret mode on CPU."""
+    from marginalign_trna_tpu.call.caller import CallerOptions, margin_caller
+    from marginalign_trna_tpu.io.sam import SamFile
+
+    monkeypatch.setenv("MARGINALIGN_KERNEL", "pallas")
+    monkeypatch.setenv("MARGINALIGN_LAYOUT", "circ")
+    monkeypatch.setenv("MARGINALIGN_MULTI", "off")
+    fixtures = "/root/reference/tests"
+    sam = SamFile.read(fixtures + "/inputBigMutations.sam")
+    sam.records = sam.records[:2]
+    sam_path = str(tmp_path / "two.sam")
+    sam.write(sam_path)
+    hmm = PairHmm.load(REF_MAPPERS + "/last_hmm_20.txt")
+    ref = fixtures + "/referencesMutated.fa"
+
+    monkeypatch.setenv("MARGINALIGN_CALLER_FUSED", "on")
+    calls_fused = margin_caller(
+        sam_path, ref, str(tmp_path / "fused.vcf"),
+        alignment_model=hmm, error_model=hmm,
+    )
+    monkeypatch.setenv("MARGINALIGN_CALLER_FUSED", "off")
+    calls_band = margin_caller(
+        sam_path, ref, str(tmp_path / "band.vcf"),
+        alignment_model=hmm, error_model=hmm,
+    )
+    assert {(c[0], c[1], c[2]) for c in calls_fused} == {
+        (c[0], c[1], c[2]) for c in calls_band
+    }
+    assert calls_fused  # non-trivial
 
 
 def test_circ_pipeline_smoke(rng, tmp_path, monkeypatch):
