@@ -47,10 +47,40 @@ def run_one():
     cells = batch.dp_cells()
     cdev = circ_device_batch(batch)
 
-    @functools.partial(jax.jit, static_argnames=("s", "m"))
-    def serve_scalar(s, c, m):
-        logZ, post = _posteriors_circ_static(s, c, mode=m)
-        return logZ.sum() + post.sum()
+    if mode == "cx":
+        # Fused caller serving: FB + in-kernel expectation accumulation +
+        # the gather assembly into [rg, 4] (the complete caller device
+        # cost; there is no posterior band).
+        import jax.numpy as jnp
+        import numpy as np
+
+        from marginalign_trna_tpu.ops.band import circ_flush_rows
+        from marginalign_trna_tpu.ops.expectations import (
+            _fused_assemble, _round_up, fused_expectation_indices,
+        )
+        from marginalign_trna_tpu.ops.fb_pallas import (
+            STEP_BLOCK, _posteriors_circ_cx_static,
+        )
+
+        d1k = -(-batch.num_steps // STEP_BLOCK) * STEP_BLOCK
+        rg = _round_up(read_len + 100, 512)
+        offsets = np.zeros(B, np.int64)
+        fr = jnp.asarray(circ_flush_rows(batch, d1k))
+        df, ti = fused_expectation_indices(batch, offsets, rg, B, d1k)
+        dfj, tij = jnp.asarray(df), jnp.asarray(ti)
+
+        @functools.partial(jax.jit, static_argnames=("s",))
+        def serve_cx(s, c, frj, dfv, tiv):
+            logZ, fl, tails = _posteriors_circ_cx_static(s, c, frj)
+            return logZ.sum() + _fused_assemble(fl, tails, dfv, tiv).sum()
+
+        def serve_scalar(s, c, m):
+            return serve_cx(s, c, fr, dfj, tij)
+    else:
+        @functools.partial(jax.jit, static_argnames=("s", "m"))
+        def serve_scalar(s, c, m):
+            logZ, post = _posteriors_circ_static(s, c, mode=m)
+            return logZ.sum() + post.sum()
 
     with_retries(lambda: float(serve_scalar(st, cdev, mode)), attempts=3)
 

@@ -289,7 +289,9 @@ def realigned_ops_for_jobs(
         """FB the bucket asynchronously; the posterior band stays on
         device (circ posteriors are re-laid out by a device gather, not a
         host round trip), so several buckets can be in flight before the
-        MEA decode's pointer pull forces a sync."""
+        MEA decode's pointer pull forces a sync.  On the fused path
+        (dispatch.use_fused_realign) the forward kernel also accumulates
+        the MEA gap-weight row/col sums, skipping the weights pass."""
         batch = pack_banded_batch(
             [jobs[i].read_region for i in bucket],
             [jobs[i].ref_region for i in bucket],
@@ -297,16 +299,33 @@ def realigned_ops_for_jobs(
             paths=[jobs[i].path for i in bucket],
             quantize=True,
         )
-        from ..ops.dispatch import make_fb_device_batch
+        from ..ops.dispatch import make_fb_device_batch, use_fused_realign
         from ..ops.fb import CircDeviceBatch
 
         dev = make_fb_device_batch(batch)
+        if isinstance(dev, CircDeviceBatch) and use_fused_realign():
+            from ..ops.band import (
+                circ_flush_rows, circ_row_flush_rows, circ_to_rel_device,
+            )
+            from ..ops.fb_pallas import (
+                STEP_BLOCK, posteriors_weights_pallas_circ,
+            )
+            from ..ops.mea import rowcol_sums_from_flushed
+
+            d1k = -(-batch.num_steps // STEP_BLOCK) * STEP_BLOCK
+            _, post_c, flc, flr, tc, tr = posteriors_weights_pallas_circ(
+                tables, dev,
+                circ_flush_rows(batch, d1k),
+                circ_row_flush_rows(batch, d1k),
+            )
+            rowcol = rowcol_sums_from_flushed(batch, flc, flr, tc, tr)
+            return batch, circ_to_rel_device(post_c, batch.lo), rowcol
         _, post_dev = fb_posteriors(tables, dev)
         if isinstance(dev, CircDeviceBatch):
             from ..ops.band import circ_to_rel_device
 
             post_dev = circ_to_rel_device(post_dev, batch.lo)
-        return batch, post_dev
+        return batch, post_dev, None
 
     # Window of in-flight buckets: bounded because each pins its posterior
     # band (~max_batch_cells * 4B) on device until decoded.
@@ -320,9 +339,10 @@ def realigned_ops_for_jobs(
         def _decode():
             if holder[0] is None:
                 holder[0] = run()  # re-dispatch after an async failure
-            b, post_dev = holder[0]
+            b, post_dev, rowcol = holder[0]
             try:
-                return b, mea_decode(post_dev, b, gap_gamma, match_gamma)
+                return b, mea_decode(post_dev, b, gap_gamma, match_gamma,
+                                     rowcol=rowcol)
             except Exception:
                 holder[0] = None
                 raise

@@ -51,6 +51,20 @@ def use_fused_caller() -> bool:
     return use_pallas() and use_circ()
 
 
+def use_fused_realign() -> bool:
+    """Fused realign serving (fb_pallas mw kernels): the forward pass
+    accumulates the MEA gap-weight row/col posterior sums in VMEM while
+    writing the posterior band, replacing the separate segment-sum
+    weights pass.  Default on wherever the circular Pallas path runs;
+    MARGINALIGN_REALIGN_FUSED=off restores the weights pass."""
+    env = os.environ.get("MARGINALIGN_REALIGN_FUSED", "").lower()
+    if env in ("on", "1"):
+        return True
+    if env in ("off", "0"):
+        return False
+    return use_pallas() and use_circ()
+
+
 def make_fb_device_batch(batch):
     """Layout-appropriate device streams for fb_posteriors (a
     CircDeviceBatch on the circular path, else a DeviceBatch)."""

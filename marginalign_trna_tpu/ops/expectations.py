@@ -227,6 +227,51 @@ def fused_expectation_indices(
     return df, ti
 
 
+def fused_row_indices(
+    batch: BandedBatch, rgm: int, n_real: int, d1k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(dfr, tir) [rgm, B] int32 gather indices for the ROW-sum flush
+    stream of the mw kernel (fb_pallas._make_fwd_kernel_circ_mw).
+
+    Read position i (1-based local; index v = i - 1) flushes at the
+    first diagonal d with lo(d) = i + 1 (the band moved past it), else
+    it sits in the row-accumulator tail at its fixed circular row
+    i mod Wp.  Sentinels point at appended zero slots."""
+    D1, B = batch.lo.shape
+    Wp = batch.wp
+    dfr = np.full((rgm, B), d1k, dtype=np.int32)
+    tir = np.full((rgm, B), Wp, dtype=np.int32)
+    iv = np.arange(1, rgm + 1, dtype=np.int64)
+    for b in range(n_real):
+        lo_b = batch.lo[:, b].astype(np.int64)
+        if d1k > D1:
+            lo_b = np.concatenate(
+                [lo_b, np.full(d1k - D1, lo_b[-1], np.int64)]
+            )
+        m = int(batch.m[b])
+        inside = iv <= m
+        e = np.searchsorted(lo_b, iv + 1, side="left")
+        e_cl = np.minimum(e, d1k - 1)
+        flushed = inside & (e < d1k) & (lo_b[e_cl] == iv + 1)
+        dfr[:, b] = np.where(flushed, e_cl, d1k)
+        in_tail = inside & ~flushed
+        tir[:, b] = np.where(in_tail, iv % Wp, Wp)
+    return dfr, tir
+
+
+@jax.jit
+def fused_gather_sums(fl, tail, df, ti):
+    """[rg, B] per-lane position sums from a single-channel flushed
+    stream + tail (mw kernel outputs).  fl [D1K, B], tail [Wp, B]."""
+    B = fl.shape[1]
+    flz = jnp.concatenate([fl, jnp.zeros((1, B), fl.dtype)], axis=0)
+    tz = jnp.concatenate([tail, jnp.zeros((1, B), tail.dtype)], axis=0)
+    return (
+        jnp.take_along_axis(flz, df, axis=0)
+        + jnp.take_along_axis(tz, ti, axis=0)
+    )
+
+
 @jax.jit
 def _fused_assemble(fl, tails, df, ti):
     """[rg, 4] from the cx kernel outputs.

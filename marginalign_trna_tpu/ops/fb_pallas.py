@@ -2910,7 +2910,8 @@ def _make_fwd_kernel_circ_cx(st, gc):
             # then add this diagonal's contributions.
             fr = fr_ref[kb]  # [1, B] int32; -1 = nothing completes
             fmask = kidx == fr
-            yb = yb_ref[kb]
+            # int32: Mosaic has no int8 vector compare.
+            yb = yb_ref[kb].astype(jnp.int32)
             for c in range(4):
                 rolled = _roll_down(acc[c])
                 fl_refs[c][kb] = jnp.sum(
@@ -3029,6 +3030,264 @@ def _posteriors_circ_cx_static(st, cdev, fr):
     gc = _flat_gap_consts(st)
     assert gc is not None, "circular path needs flat gap emissions"
     return _posteriors_circ_cx(st, gc, cdev, fr)
+
+
+def _make_fwd_kernel_circ_mw(st, gc):
+    """Realign-fused signed-emission forward: emits the posterior band
+    (the MEA wavefront still consumes it) PLUS the per-position row/col
+    posterior sums the MEA gap weights need, accumulated in VMEM —
+    replacing the separate cumsum + W-gather weights pass over the band
+    (ops/mea._mea_weights_jit's first half).
+
+    Column (reference-position) sums use the same rolling accumulator as
+    the cx kernel; row (read-position) sums need NO rolling — a read
+    position's circular row is fixed for its whole band lifetime — and
+    flush when the band moves past them (band.circ_row_flush_rows)."""
+    T = st[0]
+    ch = _gap_chain_consts(st, gc)
+
+    def kernel(
+        es_ref, fr_ref, frr_ref, bm_ref, bls_ref, logZ_ref,
+        post_ref, flc_ref, flr_ref, tc_ref, tr_ref,
+        f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
+        ls_ref, cprev_ref, accc_ref, accr_ref,
+    ):
+        f1_refs = (f1_0, f1_1, f1_2, f1_3, f1_4)
+        f2_refs = (f2_0, f2_1, f2_2, f2_3, f2_4)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            zero = jnp.zeros_like(f1_refs[0][:, :])
+            row0 = jax.lax.broadcasted_iota(jnp.int32, zero.shape, 0) == 0
+            for s in range(_NSTATE):
+                pi_s = 0.2 if (ch is None or s == 0) else 0.2 / ch.k[s - 1]
+                f1_refs[s][:, :] = jnp.where(row0, pi_s, 0.0)
+                f2_refs[s][:, :] = zero
+            ls_ref[:, :] = jnp.zeros_like(ls_ref)
+            cprev_ref[:, :] = jnp.ones_like(cprev_ref)
+            accc_ref[:, :] = zero
+            accr_ref[:, :] = zero
+
+        f1 = [f1_refs[s][:, :] for s in range(_NSTATE)]
+        f2 = [f2_refs[s][:, :] for s in range(_NSTATE)]
+        accc = accc_ref[:, :]
+        accr = accr_ref[:, :]
+        ls = ls_ref[:, :]
+        cprev = cprev_ref[:, :]
+        zero_arr = jnp.zeros_like(f1[0])
+        logZ = logZ_ref[:, :]
+        kidx = jax.lax.broadcasted_iota(jnp.int32, zero_arr.shape, 0)
+
+        def mix(vals, t, coeff=1.0):
+            out = None
+            for s in range(_NSTATE):
+                v = T[s][t] * coeff
+                if v == 0.0:
+                    continue
+                term = vals[s] * v
+                out = term if out is None else out + term
+            return out
+
+        def mix_match(vals):
+            if ch is None:
+                m = mix(vals, 0)
+                return m if m is not None else zero_arr
+            out = T[0][0] * vals[0]
+            for s in range(1, _NSTATE):
+                out = out + ch.mcoef[s - 1] * vals[s]
+            return out
+
+        for kb in range(STEP_BLOCK):
+            es = es_ref[kb]
+            e_match = jnp.maximum(es, 0.0)
+            valid = (es >= 0.0).astype(jnp.float32)
+
+            mix_m = mix_match(f2)
+            if _fwd_divide_step(kb):
+                mix_m = mix_m / cprev
+            if ch is not None:
+                mix_g = [f1[0] + ch.c[t - 1] * f1[t]
+                         for t in range(1, _NSTATE)]
+            else:
+                mix_g = [mix(f1, t, gc[t - 1]) for t in range(1, _NSTATE)]
+                mix_g = [m if m is not None else zero_arr for m in mix_g]
+
+            new = [None] * _NSTATE
+            new[0] = e_match * _roll_down(mix_m)
+            new[1] = mix_g[0] * valid
+            new[3] = mix_g[2] * valid
+            new[2] = _roll_down(mix_g[1]) * valid
+            new[4] = _roll_down(mix_g[3]) * valid
+
+            rescale = _fwd_rescale_step(kb)
+            if rescale:
+                fmax = _max5(new).max(axis=0, keepdims=True)
+                c = jnp.where(fmax > 0, fmax, 1.0)
+                inv_c = 1.0 / c
+                scaled = [new[s] * inv_c for s in range(_NSTATE)]
+            else:
+                scaled = new
+
+            if kb == 0:
+                is_first = i == 0
+                f1_next = [jnp.where(is_first, f1[s], scaled[s])
+                           for s in range(_NSTATE)]
+                f2_next = [jnp.where(is_first, f2[s], f1[s])
+                           for s in range(_NSTATE)]
+                if rescale:  # only when STEP_BLOCK == 1
+                    ls = jnp.where(is_first, ls, ls + jnp.log(c))
+                    cprev = jnp.where(is_first, cprev, c)
+            else:
+                f1_next = scaled
+                f2_next = f1
+                if rescale:
+                    ls = ls + jnp.log(c)
+                    cprev = c
+
+            alpha = jnp.exp(ls + bls_ref[kb] - logZ)  # [1, B]
+            post = f1_next[0] * bm_ref[kb] * alpha
+            post_ref[kb] = post
+            pm = post
+            if kb == 0:
+                # Origin cell: start distribution, emits nothing.
+                pm = jnp.where((i == 0) & (kidx == 0), 0.0, pm)
+
+            # Column sums: rolling frame, flush at fr.
+            frv = fr_ref[kb]
+            fmask = kidx == frv
+            rolled = _roll_down(accc)
+            flc_ref[kb] = jnp.sum(
+                jnp.where(fmask, rolled, 0.0), axis=0, keepdims=True
+            )
+            accc = jnp.where(fmask, 0.0, rolled) + pm
+
+            # Row sums: row-stable, flush at frr when the band moves on.
+            frrv = frr_ref[kb]
+            rmask = kidx == frrv
+            flr_ref[kb] = jnp.sum(
+                jnp.where(rmask, accr, 0.0), axis=0, keepdims=True
+            )
+            accr = jnp.where(rmask, 0.0, accr) + pm
+
+            f1, f2 = f1_next, f2_next
+
+        for s in range(_NSTATE):
+            f1_refs[s][:, :] = f1[s]
+            f2_refs[s][:, :] = f2[s]
+        ls_ref[:, :] = ls
+        cprev_ref[:, :] = cprev
+        accc_ref[:, :] = accc
+        accr_ref[:, :] = accr
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _tails():
+            tc_ref[:, :] = accc_ref[:, :]
+            tr_ref[:, :] = accr_ref[:, :]
+
+    return kernel
+
+
+def _posteriors_circ_mw(st, gc, cdev, fr, frr):
+    """Realign-fused serving: emw backward + mw forward.  Returns
+    (logZ [B], post band [D1, Wp, B] circular, flc/flr [D1K, B] flushed
+    col/row posterior sums, tc/tr [Wp, B] accumulator tails)."""
+    D1, Wp, B = cdev.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+
+    valid = _pad_steps(cdev.valid.astype(jnp.int8), D1K)
+    xb = _pad_steps(cdev.xb, D1K)
+    yb = _pad_steps(cdev.yb, D1K)
+    fink = cdev.fink.astype(jnp.int32)[None, :]
+    find = cdev.final_d.astype(jnp.int32)[None, :]
+    fr3 = fr[:, None, :]
+    frr3 = frr[:, None, :]
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    rev3 = pl.BlockSpec((K, Wp, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    rev2 = pl.BlockSpec((K, 1, B), lambda i: (G - 1 - i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    tail_spec = pl.BlockSpec((Wp, B), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    scratch = (
+        [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
+        + [pltpu.VMEM((1, B), jnp.float32), pltpu.VMEM((1, B), jnp.float32)]
+    )
+    bwd_scratch = scratch + [
+        pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32),
+    ]
+    bm, bls2, zrow, es = pl.pallas_call(
+        _make_bwd_kernel_circ_emw(st, gc),
+        grid=(G,),
+        in_specs=[rev3, rev3, rev3, full, full],
+        out_specs=[rev3, rev2,
+                   pl.BlockSpec((1, 1, B), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   rev3],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
+        ],
+        scratch_shapes=bwd_scratch,
+        interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
+    )(valid, xb, yb, fink, find)
+
+    logZ = (
+        jnp.log(jnp.maximum(zrow[0, 0, :], 1e-30)) + bls2[0, 0, :]
+    )
+
+    mw_scratch = scratch + [
+        pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32),
+    ]
+    post, flc, flr, tc, tr = pl.pallas_call(
+        _make_fwd_kernel_circ_mw(st, gc),
+        grid=(G,),
+        in_specs=[blk3, blk2, blk2, blk3, blk2, full],
+        out_specs=[blk3, blk2, blk2, tail_spec, tail_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+            jax.ShapeDtypeStruct((Wp, B), jnp.float32),
+            jax.ShapeDtypeStruct((Wp, B), jnp.float32),
+        ],
+        scratch_shapes=mw_scratch,
+        interpret=_use_interpret(),
+        **({"compiler_params": _compiler_params()}
+           if _compiler_params() else {}),
+    )(es, fr3, frr3, bm, bls2, logZ[None, :])
+    return logZ, post[:D1], flc[:, 0, :], flr[:, 0, :], tc, tr
+
+
+@functools.partial(jax.jit, static_argnames=("st",))
+def _posteriors_circ_mw_static(st, cdev, fr, frr):
+    gc = _flat_gap_consts(st)
+    assert gc is not None, "circular path needs flat gap emissions"
+    return _posteriors_circ_mw(st, gc, cdev, fr, frr)
+
+
+def posteriors_weights_pallas_circ(tables: FbTables, cdev, fr, frr):
+    """Fused realign serving over a fb.CircDeviceBatch: the forward
+    accumulates the MEA gap-weight row/col posterior sums in VMEM while
+    writing the posterior band.  fr/frr are band.circ_flush_rows /
+    circ_row_flush_rows streams.  Assemble per-position sums with
+    ops.mea.rowcol_sums_from_flushed."""
+    check_uniform_pi(tables)
+    return _posteriors_circ_mw_static(
+        static_tables(tables), cdev, jnp.asarray(fr), jnp.asarray(frr)
+    )
 
 
 def posteriors_expectations_pallas_circ(tables: FbTables, cdev, fr):

@@ -71,6 +71,41 @@ def mea_weights(
     return wup, wleft
 
 
+@partial(jax.jit, static_argnames=("rgm", "rgn"))
+def _weights_from_sums_jit(
+    accr, accc, valid, lo, gap_gamma, rgm: int, rgn: int
+):
+    """(wup, wleft) band-layout gap weights from per-position posterior
+    sums accr [rgm, B] / accc [rgn, B] (however computed: segment-sum or
+    the fused mw kernel's flush streams)."""
+    D1, Wp, B = valid.shape
+    d = jax.lax.broadcasted_iota(jnp.int32, (D1, 1, 1), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, Wp, 1), 1)
+    i = lo[:, None, :].astype(jnp.int32) + k
+    j = d - i
+
+    g_read = gap_gamma * jnp.clip(1.0 - accr, 0.0, 1.0)  # [rgm, B]
+    g_ref = gap_gamma * jnp.clip(1.0 - accc, 0.0, 1.0)   # [rgn, B]
+
+    iu = jnp.clip(i - 1, 0, rgm - 1)
+    ju = jnp.clip(j - 1, 0, rgn - 1)
+    wup = jnp.where(
+        valid & (i >= 1),
+        jnp.take_along_axis(
+            jnp.broadcast_to(g_read[:, None, :], (rgm, Wp, B)), iu, axis=0
+        ),
+        0.0,
+    )
+    wleft = jnp.where(
+        valid & (j >= 1),
+        jnp.take_along_axis(
+            jnp.broadcast_to(g_ref[:, None, :], (rgn, Wp, B)), ju, axis=0
+        ),
+        0.0,
+    )
+    return wup, wleft
+
+
 @partial(jax.jit, static_argnames=("width", "rgm", "rgn"))
 def _mea_weights_jit(
     post, valid, lo, e1r, e1c, gap_gamma, width: int, rgm: int, rgn: int
@@ -103,26 +138,8 @@ def _mea_weights_jit(
         )
         accc = accc + (gkc[1:] - gkc[:-1])
 
-    g_read = gap_gamma * jnp.clip(1.0 - accr, 0.0, 1.0)  # [rgm, B]
-    g_ref = gap_gamma * jnp.clip(1.0 - accc, 0.0, 1.0)   # [rgn, B]
-
-    iu = jnp.clip(i - 1, 0, rgm - 1)
-    ju = jnp.clip(j - 1, 0, rgn - 1)
-    wup = jnp.where(
-        valid & (i >= 1),
-        jnp.take_along_axis(
-            jnp.broadcast_to(g_read[:, None, :], (rgm, Wp, B)), iu, axis=0
-        ),
-        0.0,
-    )
-    wleft = jnp.where(
-        valid & (j >= 1),
-        jnp.take_along_axis(
-            jnp.broadcast_to(g_ref[:, None, :], (rgn, Wp, B)), ju, axis=0
-        ),
-        0.0,
-    )
-    return wup, wleft
+    return _weights_from_sums_jit(accr, accc, valid, lo, gap_gamma,
+                                  rgm=rgm, rgn=rgn)
 
 
 def mea_weights_device(post, batch: BandedBatch, gap_gamma: float):
@@ -197,15 +214,41 @@ def banded_mea(
     return MeaResult(pointers=ptrs, score=score)
 
 
+def rowcol_sums_from_flushed(batch, flc, flr, tc, tr, n_real=None):
+    """(accr [rgm, B], accc [rgn, B]) per-position posterior sums from the
+    mw kernel's flush streams + tails (fb_pallas.posteriors_weights_
+    pallas_circ) — one gather each, replacing the band cumsum +
+    per-band-row gathers of _mea_weights_jit."""
+    from .expectations import (
+        fused_expectation_indices, fused_gather_sums, fused_row_indices,
+    )
+
+    n_real = batch.batch if n_real is None else n_real
+    d1k = int(flc.shape[0])
+    rgm = _round_up(max(int(batch.m.max()), 1), 256)
+    rgn = _round_up(max(int(batch.n.max()), 1), 256)
+    dfc, tic = fused_expectation_indices(
+        batch, np.zeros(batch.batch, np.int64), rgn, n_real, d1k
+    )
+    dfr, tir = fused_row_indices(batch, rgm, n_real, d1k)
+    accc = fused_gather_sums(flc, tc, jnp.asarray(dfc), jnp.asarray(tic))
+    accr = fused_gather_sums(flr, tr, jnp.asarray(dfr), jnp.asarray(tir))
+    return accr, accc
+
+
 def mea_decode(
     post: np.ndarray,
     batch: BandedBatch,
     gap_gamma: float = 0.5,
     match_gamma: float = 0.0,
+    rowcol=None,
 ) -> List[List[Tuple[int, int]]]:
     """Decode realigned cigars for every read in the batch.
 
     post: [D1, Wp, B] banded posterior match probabilities (numpy).
+    rowcol: optional precomputed (accr [rgm, B], accc [rgn, B]) posterior
+    row/col sums (the fused mw serving path; see rowcol_sums_from_flushed)
+    — skips the segment-sum weights pass.
     Returns per-read aligned ops [(op, len)] with 0=M, 1=I, 2=D spanning the
     full (m, n) region.
     """
@@ -214,10 +257,18 @@ def mea_decode(
 
     mode = os.environ.get("MARGINALIGN_MEA", "")
     use_device = use_pallas() if mode == "" else mode == "device"
-    if use_device:
+    if rowcol is not None or use_device:
         # Weights and DP stay on device; only pointers cross to the host.
         post_dev = jnp.asarray(post)
-        wup, wleft = mea_weights_device(post_dev, batch, gap_gamma)
+        if rowcol is not None:
+            accr, accc = rowcol
+            wup, wleft = _weights_from_sums_jit(
+                accr, accc, jnp.asarray(batch.valid),
+                jnp.asarray(batch.lo), jnp.float32(gap_gamma),
+                rgm=int(accr.shape[0]), rgn=int(accc.shape[0]),
+            )
+        else:
+            wup, wleft = mea_weights_device(post_dev, batch, gap_gamma)
         wdiag = jnp.where(
             (post_dev >= match_gamma) & (post_dev > 0), post_dev, NEG
         ).astype(jnp.float32)

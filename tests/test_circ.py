@@ -216,6 +216,107 @@ def test_fused_cx_logZ_matches_engine(rng):
                        rtol=1e-4, atol=1e-4)
 
 
+def test_fused_mw_posteriors_and_sums_match_oracle(rng):
+    """The mw (realign-fused) kernel's posterior band matches the em-mode
+    band, and its flushed row/col posterior sums match numpy sums over
+    the band."""
+    from marginalign_trna_tpu.ops.band import (
+        circ_flush_rows, circ_row_flush_rows,
+    )
+    from marginalign_trna_tpu.ops.fb_pallas import (
+        STEP_BLOCK, posteriors_weights_pallas_circ,
+    )
+    from marginalign_trna_tpu.ops.mea import rowcol_sums_from_flushed
+
+    hmm = PairHmm.load(REF_MAPPERS + "/last_hmm_20.txt")
+    n = 80
+    x = rng.integers(0, 4, size=n).astype(np.int8)
+    y = np.concatenate([x[:40], x[50:]])
+    pd, pi = path_from_cigar([(0, 40), (2, 10), (0, 30)])
+    x2 = rng.integers(0, 4, size=60).astype(np.int8)
+    y2 = rng.integers(0, 4, size=55).astype(np.int8)
+    batch = pack_banded_batch([y, y2], [x, x2], width=21,
+                              paths=[(pd, pi), None], pad_batch_to=4)
+    tables = make_tables(hmm)
+    cdev = circ_device_batch(batch)
+    d1k = -(-batch.num_steps // STEP_BLOCK) * STEP_BLOCK
+
+    logZ_a, post_a = posteriors_pallas_circ(tables, cdev, mode="em")
+    logZ_b, post_b, flc, flr, tc, tr = posteriors_weights_pallas_circ(
+        tables, cdev, circ_flush_rows(batch, d1k),
+        circ_row_flush_rows(batch, d1k),
+    )
+    assert np.allclose(np.asarray(logZ_b)[:2], np.asarray(logZ_a)[:2],
+                       rtol=1e-6, atol=1e-6)
+    assert np.allclose(np.asarray(post_b), np.asarray(post_a), atol=1e-6)
+
+    accr, accc = rowcol_sums_from_flushed(batch, flc, flr, tc, tr)
+    accr, accc = np.asarray(accr), np.asarray(accc)
+
+    post_rel = circ_to_rel(np.asarray(post_a), batch)
+    ks = np.arange(batch.wp)
+    for b, (m, nn) in enumerate(((len(y), n), (len(y2), 60))):
+        D = m + nn
+        lo = batch.lo[: D + 1, b]
+        i_idx = lo[:, None] + ks[None, :]
+        j_idx = np.arange(D + 1)[:, None] - i_idx
+        ok = batch.valid[: D + 1, :, b] & (i_idx >= 1) & (j_idx >= 1)
+        pv = post_rel[: D + 1, :, b]
+        r = np.zeros(m)
+        c = np.zeros(nn)
+        np.add.at(r, np.clip(i_idx - 1, 0, m - 1)[ok], pv[ok])
+        np.add.at(c, np.clip(j_idx - 1, 0, nn - 1)[ok], pv[ok])
+        assert np.allclose(accr[:m, b], r, atol=2e-3), (
+            b, np.abs(accr[:m, b] - r).max()
+        )
+        assert np.allclose(accc[:nn, b], c, atol=2e-3), (
+            b, np.abs(accc[:nn, b] - c).max()
+        )
+
+
+def test_fused_realign_matches_unfused(rng):
+    """End-to-end realign consistency: the fused mw path produces the
+    same realigned operations as the segment-sum weights path."""
+    import os
+
+    from marginalign_trna_tpu.align.realign import (
+        RealignJob, realigned_ops_for_jobs,
+    )
+    from marginalign_trna_tpu.io.sam import SamRecord
+
+    hmm = PairHmm.load(REF_MAPPERS + "/last_hmm_20.txt")
+    jobs = []
+    for idx in range(3):
+        n = int(rng.integers(40, 90))
+        ref = rng.integers(0, 4, size=n).astype(np.int8)
+        read = ref.copy()
+        subs = rng.random(n) < 0.15
+        read[subs] = rng.integers(0, 4, size=int(subs.sum()))
+        rec = SamRecord(qname="r%d" % idx, flag=0, rname="ref", pos=0,
+                        mapq=255, cigar=[(0, n)], seq="A" * n)
+        pd, pi = path_from_cigar([(0, n)])
+        jobs.append(RealignJob(record=rec, read_region=read,
+                               ref_region=ref, path=(pd, pi)))
+
+    env = {"MARGINALIGN_KERNEL": "pallas", "MARGINALIGN_LAYOUT": "circ",
+           "MARGINALIGN_MULTI": "off"}
+    saved = {k: os.environ.get(k) for k in list(env) + [
+        "MARGINALIGN_REALIGN_FUSED"]}
+    os.environ.update(env)
+    try:
+        os.environ["MARGINALIGN_REALIGN_FUSED"] = "on"
+        ops_fused = realigned_ops_for_jobs(jobs, hmm, 0.5, 0.0)
+        os.environ["MARGINALIGN_REALIGN_FUSED"] = "off"
+        ops_band = realigned_ops_for_jobs(jobs, hmm, 0.5, 0.0)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert ops_fused == ops_band
+
+
 def test_circ_to_rel_device_matches_host(rng):
     """The device gather used by the realign pipeline reproduces the host
     circ_to_rel exactly."""
