@@ -12,8 +12,20 @@ in-process pipeline:
   4. host: traceback -> SAM records (primary alignment per read, like
      minimap2 -N 0; reference src/margin/mappers/minimap2.py:6).
 
-Mapper "presets" mirror the reference's CLI surface: --bwa and --minimap2
-select different seed lengths rather than different binaries.
+Mapper "presets" mirror the reference's CLI surface with behaviorally
+distinct seeding/scoring per mapper (GuideConfig.preset):
+
+  last      exact 13-mer seeds, default scoring — the LAST-style default
+            (src/margin/mappers/last.py:24-26, `-s 2 -T 0 -Q 0 -a 1`).
+  bwa       short exact 8-mer seeds, unit-cost gap scoring, and chains
+            covering fewer than 15 read bases discarded — bwa mem's ONT
+            preset `-W 15 -k 8 -x ont2d` (src/margin/mappers/bwa.py:6).
+  minimap2  (15,10)-minimizer sampling with map-ont scoring, primary
+            alignment only — `-ax map-ont -N 0`
+            (src/margin/mappers/minimap2.py:6-9).
+
+Measured per-preset guide quality on the reference's own per-mapper
+fixtures is recorded in docs/PARITY.md.
 """
 from __future__ import annotations
 
@@ -42,17 +54,33 @@ class GuideConfig:
     band_width: int = 64
     edge_pad: int = 32
     max_seeds_for_chaining: int = 1500
+    # (w,k)-minimizer sampling window; 0 = index/query every k-mer.
+    minimizer_w: int = 0
+    # Discard candidates whose chain covers fewer read bases than this
+    # (bwa mem -W analog).
+    min_seeded_bases: int = 0
     nw: NwParams = field(default_factory=NwParams)
 
     @staticmethod
     def preset(name: str) -> "GuideConfig":
-        """'last' is the default preset; 'bwa' and 'minimap2' mirror the
-        reference's alternative mappers (-k 8 for bwa ont2d, minimap2's
-        longer minimizers) with different seed lengths."""
+        """Behaviorally distinct mapper presets (see module docstring):
+        'last' = exact 13-mer seeds + default scoring; 'bwa' = bwa mem
+        `-W 15 -k 8 -x ont2d` (short seeds, unit gap costs, 15-base
+        chain-coverage floor; src/margin/mappers/bwa.py:6); 'minimap2' =
+        `-ax map-ont -N 0` ((15,10) minimizers, map-ont A2/B4/O4/E2
+        scoring; src/margin/mappers/minimap2.py:6)."""
         if name == "bwa":
-            return GuideConfig(k=11)
+            return GuideConfig(
+                k=8, max_hits_per_kmer=32, min_seeded_bases=15,
+                nw=NwParams(match=1.0, mismatch=-1.0, gap_open=-1.0,
+                            gap_extend=-1.0),
+            )
         if name == "minimap2":
-            return GuideConfig(k=15)
+            return GuideConfig(
+                k=15, minimizer_w=10,
+                nw=NwParams(match=2.0, mismatch=-4.0, gap_open=-4.0,
+                            gap_extend=-2.0),
+            )
         return GuideConfig()
 
 
@@ -71,30 +99,77 @@ def _kmer_values(codes: np.ndarray, k: int) -> np.ndarray:
     return vals
 
 
-class KmerIndex:
-    """Exact k-mer index over the (forward-strand) reference sequences."""
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: a well-mixed hash so minimizer selection is
+    not biased toward lexicographically small (poly-A) k-mers."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
 
-    def __init__(self, refs: Dict[str, str], k: int):
+
+def _minimizer_positions(vals: np.ndarray, w: int) -> np.ndarray:
+    """Indices of (w,k)-minimizers: the minimum hashed k-mer of every
+    window of w consecutive k-mers (minimap2's sampling scheme)."""
+    L = len(vals)
+    if L == 0:
+        return np.empty(0, dtype=np.int64)
+    if w <= 1 or L <= w:
+        return np.arange(L, dtype=np.int64) if w <= 1 else np.array(
+            [int(np.argmin(_mix64(vals.astype(np.uint64))))], np.int64
+        )
+    h = _mix64(vals.astype(np.uint64))
+    h = np.where(vals < 0, np.uint64(0xFFFFFFFFFFFFFFFF), h)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wins = sliding_window_view(h, w)
+    pos = wins.argmin(axis=1) + np.arange(L - w + 1, dtype=np.int64)
+    return np.unique(pos)
+
+
+class KmerIndex:
+    """Exact k-mer (optionally (w,k)-minimizer-sampled) index over the
+    (forward-strand) reference sequences."""
+
+    def __init__(self, refs: Dict[str, str], k: int, minimizer_w: int = 0):
         self.k = k
+        self.minimizer_w = minimizer_w
         self.ref_names = list(refs.keys())
         self.ref_codes = [encode(refs[n]) for n in self.ref_names]
         self.lookup: Dict[int, List[Tuple[int, int]]] = {}
         for ri, codes in enumerate(self.ref_codes):
-            for pos, v in enumerate(_kmer_values(codes, k)):
+            vals = _kmer_values(codes, k)
+            if minimizer_w > 1:
+                positions = _minimizer_positions(vals, minimizer_w)
+            else:
+                positions = np.arange(len(vals), dtype=np.int64)
+            for pos in positions:
+                v = vals[pos]
                 if v >= 0:
-                    self.lookup.setdefault(int(v), []).append((ri, pos))
+                    self.lookup.setdefault(int(v), []).append(
+                        (ri, int(pos))
+                    )
 
     def hits(self, read_codes: np.ndarray, max_per_kmer: int):
         """-> per-ref dict {ref_idx: [(qpos, rpos), ...]}"""
         out: Dict[int, List[Tuple[int, int]]] = {}
-        for qpos, v in enumerate(_kmer_values(read_codes, self.k)):
+        vals = _kmer_values(read_codes, self.k)
+        if self.minimizer_w > 1:
+            positions = _minimizer_positions(vals, self.minimizer_w)
+        else:
+            positions = np.arange(len(vals), dtype=np.int64)
+        for qpos in positions:
+            v = vals[qpos]
             if v < 0:
                 continue
             entry = self.lookup.get(int(v))
             if entry is None or len(entry) > max_per_kmer:
                 continue
             for ri, rpos in entry:
-                out.setdefault(ri, []).append((qpos, rpos))
+                out.setdefault(ri, []).append((int(qpos), rpos))
         return out
 
 
@@ -187,7 +262,7 @@ def map_reads(
     """
     cfg = cfg or GuideConfig()
     refs = get_fasta_dictionary(reference_fasta_path)
-    index = KmerIndex(refs, cfg.k)
+    index = KmerIndex(refs, cfg.k, cfg.minimizer_w)
     header = make_header([(n, len(refs[n])) for n in index.ref_names])
 
     candidates: List[_Candidate] = []
@@ -199,6 +274,19 @@ def map_reads(
 
     records = align_candidates(candidates, index, cfg)
     SamFile(header, records).write(output_sam_path)
+
+
+def _chain_coverage(chain: List[Tuple[int, int]], k: int) -> int:
+    """Read bases covered by the chain's seeds (union of [q, q+k))."""
+    covered = 0
+    last_end = -1
+    for q, _ in chain:
+        s = max(q, last_end)
+        e = q + k
+        if e > s:
+            covered += e - s
+            last_end = e
+    return covered
 
 
 def _best_candidate(
@@ -216,6 +304,10 @@ def _best_candidate(
             chain, score = chain_seeds(hits, cfg)
             if not chain:
                 continue
+            if cfg.min_seeded_bases and _chain_coverage(
+                chain, cfg.k
+            ) < cfg.min_seeded_bases:
+                continue  # bwa mem -W: too little seeded support
             if best is None or score > best.score:
                 ws, we = _corridor(
                     chain, len(codes), len(index.ref_codes[ri]), cfg

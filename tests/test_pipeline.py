@@ -135,3 +135,55 @@ def test_one_call_api(fixtures_dir, tmp_path):
     assert isinstance(calls, list)
     stats = _stats(out_sam, fixtures_dir)
     assert len(stats) == 5
+
+
+def test_mapper_presets_distinct_and_beat_reference_mappers(fixtures_dir,
+                                                            tmp_path):
+    """The three mapper presets are behaviorally DISTINCT (different
+    seeding + scoring: exact 13-mers / bwa-ont2d 8-mers + unit gaps +
+    coverage floor / (15,10) minimizers + map-ont scores) and each
+    matches or beats the guide quality of the reference's own mapper
+    output on the same reads (tests/inputBigMutations{Last,Bwa,}.sam,
+    produced by real LAST / bwa / minimap2 runs)."""
+    reads = os.path.join(fixtures_dir, "reads.fq")
+    ref = os.path.join(fixtures_dir, "referencesMutated.fa")
+
+    def mean_stats(sam_path):
+        stats = ReadAlignmentStats.get_read_alignment_stats(
+            sam_path, reads, ref, global_alignment=True
+        )
+        return (
+            len(stats),
+            float(np.mean([s.alignment_identity() for s in stats])),
+            float(np.mean([s.read_coverage() for s in stats])),
+        )
+
+    ours = {}
+    texts = {}
+    for preset in ("last", "bwa", "minimap2"):
+        out = str(tmp_path / (preset + ".sam"))
+        map_reads(reads, ref, out, GuideConfig.preset(preset))
+        ours[preset] = mean_stats(out)
+        texts[preset] = open(out).read()
+
+    # Distinct behavior: no two presets emit the same alignments.
+    assert texts["last"] != texts["bwa"]
+    assert texts["last"] != texts["minimap2"]
+    assert texts["bwa"] != texts["minimap2"]
+
+    # Quality: >= the corresponding real mapper's fixture output
+    # (identity AND coverage; measured round 4: ours 0.53-0.55 identity
+    # vs reference mappers' 0.51-0.53 on these fixtures).
+    fixture_for = {
+        "last": "inputBigMutationsLast.sam",
+        "bwa": "inputBigMutationsBwa.sam",
+        "minimap2": "inputBigMutations.sam",
+    }
+    for preset, fixture in fixture_for.items():
+        n_ref, id_ref, cov_ref = mean_stats(
+            os.path.join(fixtures_dir, fixture)
+        )
+        n_our, id_our, cov_our = ours[preset]
+        assert n_our >= n_ref, (preset, n_our, n_ref)
+        assert id_our >= id_ref - 0.005, (preset, id_our, id_ref)
+        assert cov_our >= cov_ref - 0.005, (preset, cov_our, cov_ref)
