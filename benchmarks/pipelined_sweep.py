@@ -47,7 +47,7 @@ def run_one():
     cells = batch.dp_cells()
     cdev = circ_device_batch(batch)
 
-    if mode == "cx":
+    if mode in ("cx", "cxk", "cxa", "cxs", "cxg"):
         # Fused caller serving: FB + in-kernel expectation accumulation +
         # the gather assembly into [rg, 4] (the complete caller device
         # cost; there is no posterior band).
@@ -62,20 +62,67 @@ def run_one():
             STEP_BLOCK, _posteriors_circ_cx_static,
         )
 
+        from marginalign_trna_tpu.ops.bucket_scatter import (
+            bucket_scatter_chunked, group_spread_ok, pad_group_rows,
+        )
+        from marginalign_trna_tpu.ops.expectations import fused_flush_jmaps
+
         d1k = -(-batch.num_steps // STEP_BLOCK) * STEP_BLOCK
         rg = _round_up(read_len + 100, 512)
         offsets = np.zeros(B, np.int64)
         fr = jnp.asarray(circ_flush_rows(batch, d1k))
         df, ti = fused_expectation_indices(batch, offsets, rg, B, d1k)
         dfj, tij = jnp.asarray(df), jnp.asarray(ti)
+        jmap, jtail = fused_flush_jmaps(batch, offsets, B, d1k)
+        jm_all = np.concatenate([jmap, jtail], axis=0)
+        assert group_spread_ok(jm_all, rg), "bench batch violates spread"
+        jmj = jnp.asarray(jm_all)
 
         @functools.partial(jax.jit, static_argnames=("s",))
-        def serve_cx(s, c, frj, dfv, tiv):
+        def serve_cx(s, c, frj, jmv):
+            logZ, fl, tails = _posteriors_circ_cx_static(s, c, frj)
+            vals = jnp.concatenate([fl, tails], axis=1)
+            vals, jmp = pad_group_rows(vals, jmv)
+            out3 = bucket_scatter_chunked(vals, jmp, rg)
+            return logZ.sum() + out3.sum()
+
+        @functools.partial(jax.jit, static_argnames=("s",))
+        def serve_cxg(s, c, frj, dfv, tiv):
             logZ, fl, tails = _posteriors_circ_cx_static(s, c, frj)
             return logZ.sum() + _fused_assemble(fl, tails, dfv, tiv).sum()
 
+        @functools.partial(jax.jit, static_argnames=("s",))
+        def serve_cxk(s, c, frj):
+            # Kernel only (no assembly) — isolates kernel vs gather cost.
+            logZ, fl, tails = _posteriors_circ_cx_static(s, c, frj)
+            return logZ.sum() + fl.sum() + tails.sum()
+
+        fl0 = jnp.zeros((4, d1k, B), jnp.float32)
+        tl0 = jnp.zeros((4, batch.wp, B), jnp.float32)
+
+        @jax.jit
+        def serve_cxa(dfv, tiv):
+            # Gather assembly only.
+            return _fused_assemble(fl0, tl0, dfv, tiv).sum()
+
+        @jax.jit
+        def serve_cxs(jmv):
+            # Scatter assembly only.
+            vals, jmp = pad_group_rows(
+                jnp.concatenate([fl0, tl0], axis=1), jmv
+            )
+            return bucket_scatter_chunked(vals, jmp, rg).sum()
+
         def serve_scalar(s, c, m):
-            return serve_cx(s, c, fr, dfj, tij)
+            if mode == "cxk":
+                return serve_cxk(s, c, fr)
+            if mode == "cxa":
+                return serve_cxa(dfj, tij)
+            if mode == "cxs":
+                return serve_cxs(jmj)
+            if mode == "cxg":
+                return serve_cxg(s, c, fr, dfj, tij)
+            return serve_cx(s, c, fr, jmj)
     else:
         @functools.partial(jax.jit, static_argnames=("s", "m"))
         def serve_scalar(s, c, m):

@@ -1,0 +1,194 @@
+"""Monotone bucket scatter: position-space assembly without gathers.
+
+Problem: the fused serving kernels (fb_pallas cx/mw) emit per-diagonal
+flushed values whose target positions vary per lane; assembling them
+into dense [positions, B] arrays with ``take_along_axis`` costs ~150ms
+per [4096, 3072] gather on this TPU (benchmarks/gather_probe.py — XLA
+scalarises per-lane gathers), 25x the serving kernel itself.
+
+Structure that rescues it: the target stream jmap[d, b] advances by at
+most 1 per diagonal, so within any aligned group of 128 diagonals each
+lane's flushed positions (a) are at most 128 consecutive values, hence
+occupy DISTINCT residues v mod 128, and (b) span at most a few aligned
+128-blocks of the output across all lanes.  So per group:
+
+  1. residue stage: place each flushed [1, B] value into row
+     (v mod 128) of a [128, B] VMEM buffer by constant-shape masks
+     (128 compare+select+adds per input row — VPU work, no gathers);
+  2. merge stage: the buffer's rows belong to a handful of candidate
+     output blocks t2 = v // 128; for each candidate, one
+     dynamic-offset [128, B] read-modify-write against the
+     VMEM-resident [RG, B] output.
+
+Everything is masks, adds, and scalar-offset slices; the full assembly
+costs ~VPU-bandwidth instead of scalarised gather time.
+
+Constraint checked by the host wrapper: per 128-row group the candidate
+t2 values across lanes must span at most T2_CANDIDATES blocks (true for
+banded batches whose per-lane band offsets don't diverge by more than
+~(T2_CANDIDATES-2)*128 within a group; the wrapper falls back to the
+XLA gather path when violated).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GROUP = 128           # diagonals per residue group == residue count
+T2_CANDIDATES = 12    # output 128-blocks probed per group
+
+
+def _use_interpret() -> bool:
+    from .fb_pallas import _use_interpret as fbi
+
+    return fbi()
+
+
+def _compiler_params(min_mb=128):
+    from .fb_pallas import _compiler_params as fbc
+
+    return fbc(min_mb=min_mb)
+
+
+def _make_bucket_scatter_kernel(rg: int):
+    """Kernel over grid (C, G): channel-major, then sequential groups."""
+
+    def kernel(vals_ref, jmap_ref, out_ref, bk_ref, vb_ref):
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _init():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+
+        B = jmap_ref.shape[1]
+        riota = jax.lax.broadcasted_iota(
+            jnp.int32, (GROUP, B), 0
+        )
+        bk_ref[:, :] = jnp.zeros_like(bk_ref)
+        vb_ref[:, :] = jnp.full_like(vb_ref, -1)
+
+        def body(u, _):
+            j = jmap_ref[u][None, :]       # [1, B] int32 (-1 = none)
+            v = vals_ref[0, u][None, :]    # [1, B] f32
+            r = jnp.where(j >= 0, jnp.remainder(j, GROUP), -1)
+            mask = riota == r
+            bk_ref[:, :] = bk_ref[:, :] + jnp.where(mask, v, 0.0)
+            vb_ref[:, :] = jnp.where(mask, j, vb_ref[:, :])
+            return 0
+
+        jax.lax.fori_loop(0, GROUP, body, 0, unroll=8)
+
+        vb = vb_ref[:, :]
+        bk = bk_ref[:, :]
+        t2 = jnp.where(vb >= 0, vb // GROUP, jnp.int32(2**30))
+        t2min = jnp.min(t2)  # scalar; 2**30 if the group is empty
+        n_blocks = rg // GROUP
+
+        for c in range(T2_CANDIDATES):
+            t2c = t2min + c
+            # Clamp into range; out-of-range/empty groups write zeros
+            # into block 0 via an all-false mask.
+            safe = jnp.logical_and(t2c >= 0, t2c < n_blocks)
+            row0 = jnp.where(safe, t2c * GROUP, 0)
+            sel = jnp.logical_and(t2 == t2c, safe)
+            contrib = jnp.where(sel, bk, 0.0)
+            cur = out_ref[0, pl.ds(row0, GROUP), :]
+            out_ref[0, pl.ds(row0, GROUP), :] = cur + contrib
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("rg",))
+def bucket_scatter(vals, jmap, rg: int):
+    """[C, rg, B] from vals [C, D, B] f32 and jmap [D, B] int32 targets.
+
+    out[c, v, b] = sum over d of vals[c, d, b] where jmap[d, b] == v.
+    D must be a multiple of GROUP (pad with jmap = -1 rows); rg a
+    multiple of GROUP.  Per-group constraints as per module docstring.
+    """
+    C, D, B = vals.shape
+    assert D % GROUP == 0 and rg % GROUP == 0
+    G = D // GROUP
+
+    grid = (C, G)
+    out = pl.pallas_call(
+        _make_bucket_scatter_kernel(rg),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, GROUP, B), lambda c, g: (c, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, B), lambda c, g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rg, B), lambda c, g: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, rg, B), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((GROUP, B), jnp.float32),
+            pltpu.VMEM((GROUP, B), jnp.int32),
+        ],
+        interpret=_use_interpret(),
+        compiler_params=_compiler_params(min_mb=128),
+    )(vals, jmap)
+    return out
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def bucket_scatter_chunked(vals, jmap, rg: int):
+    """bucket_scatter with the output chunked so the VMEM-resident
+    [chunk, B] accumulator stays within budget (the kernel re-reads the
+    input streams per chunk; they are ~1ms of HBM traffic each)."""
+    B = vals.shape[2]
+    rgc = 4096 if B < 4096 else 2048
+    rgp = _round_up(rg, GROUP)
+    if rgp <= rgc:
+        return bucket_scatter(vals, jmap, rgp)
+    outs = []
+    for v0 in range(0, rgp, rgc):
+        jm = jnp.where(
+            (jmap >= v0) & (jmap < v0 + rgc), jmap - v0, -1
+        )
+        outs.append(bucket_scatter(vals, jm, rgc))
+    return jnp.concatenate(outs, axis=1)[:, :rgp]
+
+
+def pad_group_rows(vals: jnp.ndarray, jmap: jnp.ndarray):
+    """Pad the row dimension to a GROUP multiple (jmap pads with -1)."""
+    D = vals.shape[1]
+    Dp = _round_up(D, GROUP)
+    if Dp == D:
+        return vals, jmap
+    vals = jnp.pad(vals, [(0, 0), (0, Dp - D), (0, 0)])
+    jmap = jnp.pad(jmap, [(0, Dp - D), (0, 0)], constant_values=-1)
+    return vals, jmap
+
+
+def group_spread_ok(jmap_np: np.ndarray, rg: int) -> bool:
+    """Host check: per 128-row group, do the candidate output blocks
+    span at most T2_CANDIDATES across all lanes?  (Also catches
+    out-of-range targets.)"""
+    D, B = jmap_np.shape
+    Dp = _round_up(D, GROUP)
+    if Dp != D:
+        jmap_np = np.concatenate(
+            [jmap_np, np.full((Dp - D, B), -1, jmap_np.dtype)]
+        )
+    if jmap_np.max() >= rg:
+        return False
+    g = jmap_np.reshape(-1, GROUP, B)
+    t2 = np.where(g >= 0, g // GROUP, np.int32(2**30))
+    t2min = t2.min(axis=(1, 2))
+    t2max = np.where(g >= 0, g // GROUP, -1).max(axis=(1, 2))
+    occupied = t2max >= 0
+    return bool(np.all(
+        ~occupied | (t2max - np.minimum(t2min, t2max)
+                     <= T2_CANDIDATES - 1)
+    ))

@@ -259,6 +259,107 @@ def fused_row_indices(
     return dfr, tir
 
 
+def _lo_padded(batch: BandedBatch, b: int, d1k: int) -> np.ndarray:
+    lo_b = batch.lo[:, b].astype(np.int64)
+    D1 = len(lo_b)
+    if d1k > D1:
+        lo_b = np.concatenate(
+            [lo_b, np.full(d1k - D1, lo_b[-1], np.int64)]
+        )
+    return lo_b
+
+
+def fused_flush_jmaps(
+    batch: BandedBatch, ref_offsets: np.ndarray, n_real: int, d1k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(jmap [d1k, B], jmap_tail [Wp, B]) int32 GLOBAL-position targets
+    for the cx/mw kernels' column flush streams + tails, for the
+    bucket-scatter assembly (ops/bucket_scatter.py): jmap[d, b] is the
+    reference position completed at diagonal d (-1 if none), jmap_tail
+    the position held at each tail accumulator row."""
+    D1, B = batch.lo.shape
+    W = batch.width
+    Wp = batch.wp
+    jmap = np.full((d1k, B), -1, dtype=np.int32)
+    jtail = np.full((Wp, B), -1, dtype=np.int32)
+    base = np.arange(d1k, dtype=np.int64)
+    for b in range(n_real):
+        lo_b = _lo_padded(batch, b, d1k)
+        gu = base - lo_b
+        n = int(batch.n[b])
+        off = int(ref_offsets[b])
+        stepped = np.zeros(d1k, dtype=bool)
+        stepped[1:] = lo_b[1:] == lo_b[:-1]
+        j = gu - W  # completed local position (1-based) where stepped
+        okj = stepped & (j >= 1) & (j <= n)
+        jmap[okj, b] = (off + j[okj] - 1).astype(np.int32)
+        # Tail: positions still inside the final window.
+        gu_end = int(gu[-1])
+        lo_t = max(1, gu_end - W + 1)
+        hi_t = min(n, gu_end)
+        if hi_t >= lo_t:
+            js = np.arange(lo_t, hi_t + 1, dtype=np.int64)
+            rows = (d1k - 1 - js) % Wp
+            jtail[rows, b] = (off + js - 1).astype(np.int32)
+    return jmap, jtail
+
+
+def fused_row_jmaps(
+    batch: BandedBatch, n_real: int, d1k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(jmap [d1k, B], jmap_tail [Wp, B]) int32 LOCAL read-position
+    targets (0-based, i.e. accr row i-1) for the mw kernel's row flush
+    stream + row tails."""
+    D1, B = batch.lo.shape
+    Wp = batch.wp
+    jmap = np.full((d1k, B), -1, dtype=np.int32)
+    jtail = np.full((Wp, B), -1, dtype=np.int32)
+    for b in range(n_real):
+        lo_b = _lo_padded(batch, b, d1k)
+        m = int(batch.m[b])
+        stepped = np.zeros(d1k, dtype=bool)
+        stepped[1:] = lo_b[1:] != lo_b[:-1]
+        i = lo_b - 1  # completed read position where stepped
+        oki = stepped & (i >= 1) & (i <= m)
+        jmap[oki, b] = (i[oki] - 1).astype(np.int32)
+        lo_end = int(lo_b[-1])
+        # Unflushed read positions: [lo_end, m] (length <= width < Wp).
+        is_ = np.arange(max(1, lo_end), m + 1, dtype=np.int64)
+        assert len(is_) < Wp, (len(is_), Wp)
+        if len(is_):
+            rows = is_ % Wp
+            jtail[rows, b] = (is_ - 1).astype(np.int32)
+    return jmap, jtail
+
+
+def _use_scatter_assembly() -> bool:
+    """Bucket-scatter assembly (no gathers) vs take_along_axis.  Per-lane
+    gathers scalarise on TPU (~150ms per [4096, B]; gather_probe.py), so
+    scatter is the default; MARGINALIGN_ASSEMBLY=gather restores the
+    gather path (also the automatic fallback when a batch violates the
+    bucket kernel's group-spread precondition)."""
+    import os as _os
+
+    return _os.environ.get(
+        "MARGINALIGN_ASSEMBLY", ""
+    ).lower() != "gather"
+
+
+def _scatter_assemble(fl, tails, jmap, jtail, rg):
+    """[C, rg, B] via the bucket-scatter kernel, or None when the batch
+    violates its preconditions (caller falls back to gathers)."""
+    from .bucket_scatter import (
+        bucket_scatter_chunked, group_spread_ok, pad_group_rows,
+    )
+
+    jm = np.concatenate([jmap, jtail], axis=0)
+    if not group_spread_ok(jm, rg):
+        return None
+    vals = jnp.concatenate([fl, tails], axis=1)
+    vals, jmd = pad_group_rows(vals, jnp.asarray(jm))
+    return bucket_scatter_chunked(vals, jmd, rg)
+
+
 @jax.jit
 def fused_gather_sums(fl, tail, df, ti):
     """[rg, B] per-lane position sums from a single-channel flushed
@@ -316,11 +417,26 @@ def band_expectations_cx(
     d1k = _round_up(batch.num_steps, STEP_BLOCK)
     fr = circ_flush_rows(batch, d1k)
     _, fl, tails = posteriors_expectations_pallas_circ(tables, cdev, fr)
-    df, ti = fused_expectation_indices(batch, ref_offsets, rg, n_real, d1k)
-    out = _fused_assemble(fl, tails, jnp.asarray(df), jnp.asarray(ti))
+    out = None
+    if _use_scatter_assembly():
+        jmap, jtail = fused_flush_jmaps(batch, ref_offsets, n_real, d1k)
+        out3 = _scatter_assemble(fl, tails, jmap, jtail, rg)
+        if out3 is not None:
+            out = _sum_lanes_t(out3)[:rg]
+    if out is None:
+        df, ti = fused_expectation_indices(
+            batch, ref_offsets, rg, n_real, d1k
+        )
+        out = _fused_assemble(fl, tails, jnp.asarray(df), jnp.asarray(ti))
     if as_device:
         return out
     return np.asarray(out)[:total_ref_len]
+
+
+@jax.jit
+def _sum_lanes_t(out3):
+    """[C, rg, B] -> [rg, C] lane reduction."""
+    return out3.sum(axis=2).T
 
 
 # ----------------------- multi-problem lanes (short-read packing) ---------

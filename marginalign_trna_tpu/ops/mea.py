@@ -220,19 +220,35 @@ def rowcol_sums_from_flushed(batch, flc, flr, tc, tr, n_real=None):
     pallas_circ) — one gather each, replacing the band cumsum +
     per-band-row gathers of _mea_weights_jit."""
     from .expectations import (
-        fused_expectation_indices, fused_gather_sums, fused_row_indices,
+        _scatter_assemble, _use_scatter_assembly,
+        fused_expectation_indices, fused_flush_jmaps, fused_gather_sums,
+        fused_row_indices, fused_row_jmaps,
     )
 
     n_real = batch.batch if n_real is None else n_real
     d1k = int(flc.shape[0])
     rgm = _round_up(max(int(batch.m.max()), 1), 256)
     rgn = _round_up(max(int(batch.n.max()), 1), 256)
-    dfc, tic = fused_expectation_indices(
-        batch, np.zeros(batch.batch, np.int64), rgn, n_real, d1k
-    )
-    dfr, tir = fused_row_indices(batch, rgm, n_real, d1k)
-    accc = fused_gather_sums(flc, tc, jnp.asarray(dfc), jnp.asarray(tic))
-    accr = fused_gather_sums(flr, tr, jnp.asarray(dfr), jnp.asarray(tir))
+    accr = accc = None
+    if _use_scatter_assembly():
+        jmc, jtc = fused_flush_jmaps(
+            batch, np.zeros(batch.batch, np.int64), n_real, d1k
+        )
+        outc = _scatter_assemble(flc[None], tc[None], jmc, jtc, rgn)
+        jmr, jtr = fused_row_jmaps(batch, n_real, d1k)
+        outr = _scatter_assemble(flr[None], tr[None], jmr, jtr, rgm)
+        if outc is not None and outr is not None:
+            accc = outc[0, :rgn]
+            accr = outr[0, :rgm]
+    if accc is None or accr is None:
+        dfc, tic = fused_expectation_indices(
+            batch, np.zeros(batch.batch, np.int64), rgn, n_real, d1k
+        )
+        dfr, tir = fused_row_indices(batch, rgm, n_real, d1k)
+        accc = fused_gather_sums(flc, tc, jnp.asarray(dfc),
+                                 jnp.asarray(tic))
+        accr = fused_gather_sums(flr, tr, jnp.asarray(dfr),
+                                 jnp.asarray(tir))
     return accr, accc
 
 

@@ -154,10 +154,14 @@ def test_circ_generic_branch_non_chain_model(rng, mode):
     assert np.allclose(post[ok], np.asarray(ref.posteriors)[ok], atol=2e-4)
 
 
-def test_fused_cx_expectations_match_host_oracle(rng):
+@pytest.mark.parametrize("assembly", ["scatter", "gather"])
+def test_fused_cx_expectations_match_host_oracle(rng, assembly,
+                                                 monkeypatch):
     """The fused caller serving path (cx kernel: expectations accumulated
     in rolling VMEM scratch, flushed one position per diagonal, no
-    posterior band in HBM) reproduces the host np.add.at oracle."""
+    posterior band in HBM) reproduces the host np.add.at oracle — via
+    both the bucket-scatter assembly and the gather fallback."""
+    monkeypatch.setenv("MARGINALIGN_ASSEMBLY", assembly)
     from marginalign_trna_tpu.ops.expectations import (
         band_expectations_cx, band_expectations_host,
     )
@@ -216,10 +220,13 @@ def test_fused_cx_logZ_matches_engine(rng):
                        rtol=1e-4, atol=1e-4)
 
 
-def test_fused_mw_posteriors_and_sums_match_oracle(rng):
+@pytest.mark.parametrize("assembly", ["scatter", "gather"])
+def test_fused_mw_posteriors_and_sums_match_oracle(rng, assembly,
+                                                   monkeypatch):
     """The mw (realign-fused) kernel's posterior band matches the em-mode
     band, and its flushed row/col posterior sums match numpy sums over
-    the band."""
+    the band — via both assembly paths."""
+    monkeypatch.setenv("MARGINALIGN_ASSEMBLY", assembly)
     from marginalign_trna_tpu.ops.band import (
         circ_flush_rows, circ_row_flush_rows,
     )

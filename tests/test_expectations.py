@@ -58,3 +58,50 @@ def test_n_bases_excluded(rng):
     post = np.ones((D1, Wp, B), np.float32) * batch.valid
     got = band_expectations(post, batch, np.zeros(1, np.int64), 20)
     assert np.allclose(got, 0.0)
+
+
+def test_bucket_scatter_matches_numpy(rng):
+    """The gather-free bucket-scatter assembly kernel (interpret mode)
+    reproduces a direct numpy scatter for monotone 0/1-step target
+    streams like the fused kernels' flush streams."""
+    from marginalign_trna_tpu.ops.bucket_scatter import (
+        GROUP, bucket_scatter_chunked, group_spread_ok, pad_group_rows,
+    )
+    import jax.numpy as jnp
+
+    D, B, C, rg = 500, 4, 3, 512
+    jmap = np.full((D, B), -1, np.int32)
+    for b in range(B):
+        v = int(rng.integers(0, 5))
+        for d in range(D):
+            if rng.random() < 0.55 and v < rg:
+                jmap[d, b] = v
+                v += 1
+    vals = rng.random((C, D, B)).astype(np.float32)
+
+    want = np.zeros((C, rg, B), np.float32)
+    for b in range(B):
+        for d in range(D):
+            if jmap[d, b] >= 0:
+                want[:, jmap[d, b], b] += vals[:, d, b]
+
+    assert group_spread_ok(jmap, rg)
+    v_p, j_p = pad_group_rows(jnp.asarray(vals), jnp.asarray(jmap))
+    got = np.asarray(bucket_scatter_chunked(v_p, j_p, rg))
+    assert got.shape == (C, rg, B)
+    assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
+
+def test_bucket_scatter_spread_check():
+    """group_spread_ok rejects batches whose per-group targets span more
+    output blocks than the kernel probes (the fallback trigger)."""
+    from marginalign_trna_tpu.ops.bucket_scatter import (
+        T2_CANDIDATES, group_spread_ok,
+    )
+
+    jmap = np.full((128, 2), -1, np.int32)
+    jmap[0, 0] = 0
+    jmap[1, 1] = 128 * (T2_CANDIDATES + 1)
+    assert not group_spread_ok(jmap, 128 * (T2_CANDIDATES + 2))
+    jmap[1, 1] = 100
+    assert group_spread_ok(jmap, 256)
