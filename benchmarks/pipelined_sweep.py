@@ -123,6 +123,99 @@ def run_one():
             if mode == "cxg":
                 return serve_cxg(s, c, fr, dfj, tij)
             return serve_cx(s, c, fr, jmj)
+    elif mode in ("mw", "mwk", "mwold", "wgo"):
+        # Fused realign serving (mw kernel) vs the old two-pass path,
+        # both measured to the same product: posterior band + (wup,
+        # wleft) MEA gap weights.  mwk = mw kernel only (no assembly).
+        import jax.numpy as jnp
+        import numpy as np
+
+        from marginalign_trna_tpu.ops.band import (
+            circ_flush_rows, circ_row_flush_rows, circ_to_rel_device,
+        )
+        from marginalign_trna_tpu.ops.expectations import (
+            _round_up, _scatter_assemble, fused_flush_jmaps,
+            fused_row_jmaps,
+        )
+        from marginalign_trna_tpu.ops.fb_pallas import (
+            STEP_BLOCK, _posteriors_circ_mw_static,
+        )
+        from marginalign_trna_tpu.ops.mea import (
+            _mea_weights_jit, _weights_from_sums_jit,
+        )
+        from marginalign_trna_tpu.ops.expectations import (
+            read_position_boundaries, run_boundaries,
+        )
+
+        gap = jnp.float32(0.5)
+        d1k = -(-batch.num_steps // STEP_BLOCK) * STEP_BLOCK
+        fr = jnp.asarray(circ_flush_rows(batch, d1k))
+        frr = jnp.asarray(circ_row_flush_rows(batch, d1k))
+        rgm = _round_up(max(int(batch.m.max()), 1), 256)
+        rgn = _round_up(max(int(batch.n.max()), 1), 256)
+        validj = jnp.asarray(batch.valid)
+        loj = jnp.asarray(batch.lo)
+        jmc, jtc = fused_flush_jmaps(
+            batch, np.zeros(B, np.int64), B, d1k
+        )
+        jmr, jtr = fused_row_jmaps(batch, B, d1k)
+        e1r = jnp.asarray(read_position_boundaries(batch, rgm, B))
+        e1c = jnp.asarray(
+            run_boundaries(batch, np.zeros(B, np.int64), rgn, B)
+        )
+
+        @functools.partial(jax.jit, static_argnames=("s",))
+        def serve_mw(s, c, frj, frrj):
+            logZ, post, flc, flr, tc, tr = _posteriors_circ_mw_static(
+                s, c, frj, frrj
+            )
+            accc = _scatter_assemble(flc[None], tc[None], jmc, jtc, rgn)
+            accr = _scatter_assemble(flr[None], tr[None], jmr, jtr, rgm)
+            assert accc is not None and accr is not None
+            wup, wleft = _weights_from_sums_jit(
+                accr[0, :rgm], accc[0, :rgn], validj, loj, gap,
+                rgm=rgm, rgn=rgn,
+            )
+            return logZ.sum() + post.sum() + wup.sum() + wleft.sum()
+
+        @functools.partial(jax.jit, static_argnames=("s",))
+        def serve_mwk(s, c, frj, frrj):
+            logZ, post, flc, flr, tc, tr = _posteriors_circ_mw_static(
+                s, c, frj, frrj
+            )
+            return (logZ.sum() + post.sum() + flc.sum() + flr.sum()
+                    + tc.sum() + tr.sum())
+
+        @functools.partial(jax.jit, static_argnames=("s",))
+        def serve_mwold(s, c):
+            logZ, post = _posteriors_circ_static(s, c, mode="em")
+            postr = circ_to_rel_device(post, loj)
+            wup, wleft = _mea_weights_jit(
+                postr, validj, loj, e1r, e1c, gap,
+                width=batch.width, rgm=rgm, rgn=rgn,
+            )
+            return logZ.sum() + postr.sum() + wup.sum() + wleft.sum()
+
+        accr0 = jnp.zeros((rgm, B), jnp.float32)
+        accc0 = jnp.zeros((rgn, B), jnp.float32)
+
+        @jax.jit
+        def serve_wgo(ar, ac):
+            # Weights gather-back only (band-layout wup/wleft from
+            # per-position sums) — isolates the take_along_axis cost.
+            wup, wleft = _weights_from_sums_jit(
+                ar, ac, validj, loj, gap, rgm=rgm, rgn=rgn,
+            )
+            return wup.sum() + wleft.sum()
+
+        def serve_scalar(s, c, m):
+            if mode == "mwk":
+                return serve_mwk(s, c, fr, frr)
+            if mode == "mwold":
+                return serve_mwold(s, c)
+            if mode == "wgo":
+                return serve_wgo(accr0, accc0)
+            return serve_mw(s, c, fr, frr)
     else:
         @functools.partial(jax.jit, static_argnames=("s", "m"))
         def serve_scalar(s, c, m):

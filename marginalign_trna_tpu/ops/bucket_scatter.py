@@ -15,19 +15,19 @@ occupy DISTINCT residues v mod 128, and (b) span at most a few aligned
   1. residue stage: place each flushed [1, B] value into row
      (v mod 128) of a [128, B] VMEM buffer by constant-shape masks
      (128 compare+select+adds per input row — VPU work, no gathers);
-  2. merge stage: the buffer's rows belong to a handful of candidate
-     output blocks t2 = v // 128; for each candidate, one
-     dynamic-offset [128, B] read-modify-write against the
-     VMEM-resident [RG, B] output.
+  2. merge stage: the buffer's rows belong to output blocks
+     t2 = v // 128; a static loop over all blocks of the VMEM-resident
+     [RG, B] output does a [128, B] read-modify-write per block,
+     predicated (pl.when) on the group actually touching it — a group
+     spans <= 2 blocks, so ~all iterations skip at run time.  (Mosaic
+     cannot lower dynamic-offset vector loads/stores on the sublane
+     dim, so the offsets must be static.)
 
-Everything is masks, adds, and scalar-offset slices; the full assembly
+Everything is masks, adds, and static-offset slices; the full assembly
 costs ~VPU-bandwidth instead of scalarised gather time.
 
-Constraint checked by the host wrapper: per 128-row group the candidate
-t2 values across lanes must span at most T2_CANDIDATES blocks (true for
-banded batches whose per-lane band offsets don't diverge by more than
-~(T2_CANDIDATES-2)*128 within a group; the wrapper falls back to the
-XLA gather path when violated).
+The host wrapper only checks targets are in range (group_spread_ok);
+out-of-range targets fall back to the XLA gather path.
 """
 from __future__ import annotations
 
@@ -40,7 +40,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 GROUP = 128           # diagonals per residue group == residue count
-T2_CANDIDATES = 12    # output 128-blocks probed per group
 
 
 def _use_interpret() -> bool:
@@ -81,24 +80,31 @@ def _make_bucket_scatter_kernel(rg: int):
             vb_ref[:, :] = jnp.where(mask, j, vb_ref[:, :])
             return 0
 
-        jax.lax.fori_loop(0, GROUP, body, 0, unroll=8)
+        # Mosaic only lowers unroll=1 or unroll=num_steps for fori_loop;
+        # partial unrolls fail to compile on TPU.
+        jax.lax.fori_loop(0, GROUP, body, 0, unroll=1)
 
         vb = vb_ref[:, :]
         bk = bk_ref[:, :]
-        t2 = jnp.where(vb >= 0, vb // GROUP, jnp.int32(2**30))
-        t2min = jnp.min(t2)  # scalar; 2**30 if the group is empty
+        t2 = jnp.where(vb >= 0, vb // GROUP, jnp.int32(-1))
         n_blocks = rg // GROUP
 
-        for c in range(T2_CANDIDATES):
-            t2c = t2min + c
-            # Clamp into range; out-of-range/empty groups write zeros
-            # into block 0 via an all-false mask.
-            safe = jnp.logical_and(t2c >= 0, t2c < n_blocks)
-            row0 = jnp.where(safe, t2c * GROUP, 0)
-            sel = jnp.logical_and(t2 == t2c, safe)
-            contrib = jnp.where(sel, bk, 0.0)
-            cur = out_ref[0, pl.ds(row0, GROUP), :]
-            out_ref[0, pl.ds(row0, GROUP), :] = cur + contrib
+        # Static loop over output blocks: Mosaic cannot lower dynamic-
+        # offset vector loads/stores on the sublane dim (the earlier
+        # t2min+candidate RMW design failed to compile), so every block
+        # gets a STATIC-offset read-modify-write, predicated on the group
+        # actually touching it — a group's values span <= 2 blocks, so
+        # ~all iterations skip at run time.
+        for s in range(n_blocks):
+            sel = t2 == s
+
+            @pl.when(jnp.any(sel))
+            def _merge(s=s, sel=sel):
+                contrib = jnp.where(sel, bk, 0.0)
+                cur = out_ref[0, s * GROUP : (s + 1) * GROUP, :]
+                out_ref[0, s * GROUP : (s + 1) * GROUP, :] = (
+                    cur + contrib
+                )
 
     return kernel
 
@@ -172,23 +178,7 @@ def pad_group_rows(vals: jnp.ndarray, jmap: jnp.ndarray):
 
 
 def group_spread_ok(jmap_np: np.ndarray, rg: int) -> bool:
-    """Host check: per 128-row group, do the candidate output blocks
-    span at most T2_CANDIDATES across all lanes?  (Also catches
-    out-of-range targets.)"""
-    D, B = jmap_np.shape
-    Dp = _round_up(D, GROUP)
-    if Dp != D:
-        jmap_np = np.concatenate(
-            [jmap_np, np.full((Dp - D, B), -1, jmap_np.dtype)]
-        )
-    if jmap_np.max() >= rg:
-        return False
-    g = jmap_np.reshape(-1, GROUP, B)
-    t2 = np.where(g >= 0, g // GROUP, np.int32(2**30))
-    t2min = t2.min(axis=(1, 2))
-    t2max = np.where(g >= 0, g // GROUP, -1).max(axis=(1, 2))
-    occupied = t2max >= 0
-    return bool(np.all(
-        ~occupied | (t2max - np.minimum(t2min, t2max)
-                     <= T2_CANDIDATES - 1)
-    ))
+    """Host check: are all targets in range?  (The static-block merge
+    stage has no per-group spread constraint; this only guards against
+    targets outside [0, rg), which would silently drop mass.)"""
+    return bool(jmap_np.max() < rg)

@@ -93,15 +93,15 @@ def test_bucket_scatter_matches_numpy(rng):
 
 
 def test_bucket_scatter_spread_check():
-    """group_spread_ok rejects batches whose per-group targets span more
-    output blocks than the kernel probes (the fallback trigger)."""
-    from marginalign_trna_tpu.ops.bucket_scatter import (
-        T2_CANDIDATES, group_spread_ok,
-    )
+    """group_spread_ok rejects out-of-range targets (the gather-fallback
+    trigger); in-range targets of any per-group spread are accepted now
+    that the merge stage statically visits every output block."""
+    from marginalign_trna_tpu.ops.bucket_scatter import group_spread_ok
 
     jmap = np.full((128, 2), -1, np.int32)
     jmap[0, 0] = 0
-    jmap[1, 1] = 128 * (T2_CANDIDATES + 1)
-    assert not group_spread_ok(jmap, 128 * (T2_CANDIDATES + 2))
+    jmap[1, 1] = 512  # out of range for rg=512
+    assert not group_spread_ok(jmap, 512)
+    assert group_spread_ok(jmap, 1024)  # wide spread, in range: fine
     jmap[1, 1] = 100
     assert group_spread_ok(jmap, 256)
