@@ -47,7 +47,7 @@ def run_one():
     cells = batch.dp_cells()
     cdev = circ_device_batch(batch)
 
-    if mode in ("cx", "cxk", "cxa", "cxs", "cxg"):
+    if mode in ("cx", "cxk", "cxa", "cxs", "cxg", "cxl", "cxsl"):
         # Fused caller serving: FB + in-kernel expectation accumulation +
         # the gather assembly into [rg, 4] (the complete caller device
         # cost; there is no posterior band).
@@ -113,6 +113,30 @@ def run_one():
             )
             return bucket_scatter_chunked(vals, jmp, rg).sum()
 
+        from marginalign_trna_tpu.ops.bucket_scatter import (
+            bucket_scatter_lanesum,
+        )
+
+        @jax.jit
+        def serve_cxsl(jmv):
+            # Lane-summed scatter assembly only.
+            vals, jmp = pad_group_rows(
+                jnp.concatenate([fl0, tl0], axis=1), jmv
+            )
+            return bucket_scatter_lanesum(vals, jmp, rg).sum()
+
+        @functools.partial(jax.jit, static_argnames=("s",))
+        def serve_cxl(s, c, frj, jmv):
+            # Full fused caller with the lane-summed assembly (the
+            # production band_expectations_cx path).
+            logZ, fl, tails = _posteriors_circ_cx_static(s, c, frj)
+            vals, jmp = pad_group_rows(
+                jnp.concatenate([fl, tails], axis=1), jmv
+            )
+            return logZ.sum() + bucket_scatter_lanesum(
+                vals, jmp, rg
+            ).sum()
+
         def serve_scalar(s, c, m):
             if mode == "cxk":
                 return serve_cxk(s, c, fr)
@@ -120,10 +144,14 @@ def run_one():
                 return serve_cxa(dfj, tij)
             if mode == "cxs":
                 return serve_cxs(jmj)
+            if mode == "cxsl":
+                return serve_cxsl(jmj)
+            if mode == "cxl":
+                return serve_cxl(s, c, fr, jmj)
             if mode == "cxg":
                 return serve_cxg(s, c, fr, dfj, tij)
             return serve_cx(s, c, fr, jmj)
-    elif mode in ("mw", "mwk", "mwold", "wgo"):
+    elif mode in ("mw", "mwk", "mwold", "wgo", "rold", "rnew", "c2r"):
         # Fused realign serving (mw kernel) vs the old two-pass path,
         # both measured to the same product: posterior band + (wup,
         # wleft) MEA gap weights.  mwk = mw kernel only (no assembly).
@@ -131,7 +159,8 @@ def run_one():
         import numpy as np
 
         from marginalign_trna_tpu.ops.band import (
-            circ_flush_rows, circ_row_flush_rows, circ_to_rel_device,
+            circ_flush_rows, circ_lo_mod_rows, circ_row_flush_rows,
+            circ_to_rel_device,
         )
         from marginalign_trna_tpu.ops.expectations import (
             _round_up, _scatter_assemble, fused_flush_jmaps,
@@ -151,6 +180,7 @@ def run_one():
         d1k = -(-batch.num_steps // STEP_BLOCK) * STEP_BLOCK
         fr = jnp.asarray(circ_flush_rows(batch, d1k))
         frr = jnp.asarray(circ_row_flush_rows(batch, d1k))
+        lom = jnp.asarray(circ_lo_mod_rows(batch, d1k))
         rgm = _round_up(max(int(batch.m.max()), 1), 256)
         rgn = _round_up(max(int(batch.n.max()), 1), 256)
         validj = jnp.asarray(batch.valid)
@@ -164,10 +194,16 @@ def run_one():
             run_boundaries(batch, np.zeros(B, np.int64), rgn, B)
         )
 
-        @functools.partial(jax.jit, static_argnames=("s",))
+        # NOTE: these compositions are deliberately NOT wrapped in one
+        # outer jit: closure-captured index arrays would be baked into
+        # the executable as constants and blow the remote-compile
+        # request size (HTTP 413).  Each piece is jitted with array
+        # ARGS, like the production pipelines.
+        sumj = jax.jit(lambda *xs: sum(x.sum() for x in xs))
+
         def serve_mw(s, c, frj, frrj):
             logZ, post, flc, flr, tc, tr = _posteriors_circ_mw_static(
-                s, c, frj, frrj
+                s, c, frj, frrj, lom
             )
             accc = _scatter_assemble(flc[None], tc[None], jmc, jtc, rgn)
             accr = _scatter_assemble(flr[None], tr[None], jmr, jtr, rgm)
@@ -176,17 +212,14 @@ def run_one():
                 accr[0, :rgm], accc[0, :rgn], validj, loj, gap,
                 rgm=rgm, rgn=rgn,
             )
-            return logZ.sum() + post.sum() + wup.sum() + wleft.sum()
+            return sumj(logZ, post, wup, wleft)
 
-        @functools.partial(jax.jit, static_argnames=("s",))
         def serve_mwk(s, c, frj, frrj):
             logZ, post, flc, flr, tc, tr = _posteriors_circ_mw_static(
-                s, c, frj, frrj
+                s, c, frj, frrj, lom
             )
-            return (logZ.sum() + post.sum() + flc.sum() + flr.sum()
-                    + tc.sum() + tr.sum())
+            return sumj(logZ, post, flc, flr, tc, tr)
 
-        @functools.partial(jax.jit, static_argnames=("s",))
         def serve_mwold(s, c):
             logZ, post = _posteriors_circ_static(s, c, mode="em")
             postr = circ_to_rel_device(post, loj)
@@ -194,19 +227,73 @@ def run_one():
                 postr, validj, loj, e1r, e1c, gap,
                 width=batch.width, rgm=rgm, rgn=rgn,
             )
-            return logZ.sum() + postr.sum() + wup.sum() + wleft.sum()
+            return sumj(logZ, postr, wup, wleft)
 
         accr0 = jnp.zeros((rgm, B), jnp.float32)
         accc0 = jnp.zeros((rgn, B), jnp.float32)
 
-        @jax.jit
+        # Full realign device cost, old vs new: rold = em FB +
+        # circ->rel + segment-sum weights + MEA wavefront; rnew = mw FB
+        # (in-kernel weight sums) + scatter assembly + delay-line MEA.
+        from marginalign_trna_tpu.ops.mea import NEG as MEA_NEG
+        from marginalign_trna_tpu.ops.mea import mea_weights_device
+        from marginalign_trna_tpu.ops.wavefront_pallas import (
+            _mea_dl_jit, banded_mea_pallas,
+        )
+
+        s1j = jnp.asarray(batch.s1)
+        s2j = jnp.asarray(batch.s2)
+        fdj = jnp.asarray(batch.final_d)
+        fkj = jnp.asarray(batch.final_k)
+
+        maskj = jax.jit(
+            lambda p: jnp.where(p > 0, p, MEA_NEG)
+        )
+        ptrsumj = jax.jit(
+            lambda logZ, sc, ptrs: logZ.sum() + sc.sum()
+            + ptrs.astype(jnp.int32).sum()
+        )
+
+        def serve_rold(s, c):
+            logZ, post = _posteriors_circ_static(s, c, mode="em")
+            postr = circ_to_rel_device(post, loj)
+            wup, wleft = mea_weights_device(postr, batch, 0.5)
+            wdiag = maskj(postr)
+            res = banded_mea_pallas(wdiag, wup, wleft, validj, s1j,
+                                    s2j, fdj, fkj)
+            return ptrsumj(logZ, res.score, res.pointers)
+
+        def serve_rnew(s, c):
+            # post comes back band-relative from the mw forward.
+            logZ, postr, flc, flr, tc, tr = _posteriors_circ_mw_static(
+                s, c, fr, frr, lom
+            )
+            accc = _scatter_assemble(flc[None], tc[None], jmc, jtc, rgn)
+            accr = _scatter_assemble(flr[None], tr[None], jmr, jtr, rgm)
+            ptrs, terms = _mea_dl_jit(
+                postr, validj, s1j, s2j, fkj, loj,
+                accr[0, :rgm], accc[0, :rgn],
+                jnp.float32(0.5), jnp.float32(0.0), rgm=rgm, rgn=rgn,
+            )
+            return ptrsumj(logZ, terms, ptrs)
+
         def serve_wgo(ar, ac):
             # Weights gather-back only (band-layout wup/wleft from
             # per-position sums) — isolates the take_along_axis cost.
             wup, wleft = _weights_from_sums_jit(
                 ar, ac, validj, loj, gap, rgm=rgm, rgn=rgn,
             )
-            return wup.sum() + wleft.sum()
+            return sumj(wup, wleft)
+
+        serve_rold_j = serve_rold
+        serve_rnew_j = serve_rnew
+
+        post0 = jnp.zeros(batch.valid.shape, jnp.float32)
+
+        def serve_c2r(p):
+            # circ->rel conversion only (the sublane-dim gather on the
+            # default realign path).
+            return sumj(circ_to_rel_device(p, loj))
 
         def serve_scalar(s, c, m):
             if mode == "mwk":
@@ -215,6 +302,12 @@ def run_one():
                 return serve_mwold(s, c)
             if mode == "wgo":
                 return serve_wgo(accr0, accc0)
+            if mode == "rold":
+                return serve_rold_j(s, c)
+            if mode == "rnew":
+                return serve_rnew_j(s, c)
+            if mode == "c2r":
+                return serve_c2r(post0)
             return serve_mw(s, c, fr, frr)
     else:
         @functools.partial(jax.jit, static_argnames=("s", "m"))

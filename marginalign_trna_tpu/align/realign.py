@@ -305,7 +305,7 @@ def realigned_ops_for_jobs(
         dev = make_fb_device_batch(batch)
         if isinstance(dev, CircDeviceBatch) and use_fused_realign():
             from ..ops.band import (
-                circ_flush_rows, circ_row_flush_rows, circ_to_rel_device,
+                circ_flush_rows, circ_lo_mod_rows, circ_row_flush_rows,
             )
             from ..ops.fb_pallas import (
                 STEP_BLOCK, posteriors_weights_pallas_circ,
@@ -313,13 +313,17 @@ def realigned_ops_for_jobs(
             from ..ops.mea import rowcol_sums_from_flushed
 
             d1k = -(-batch.num_steps // STEP_BLOCK) * STEP_BLOCK
-            _, post_c, flc, flr, tc, tr = posteriors_weights_pallas_circ(
+            # post comes back BAND-RELATIVE: the mw forward rotates its
+            # output rows in-kernel (the old device circ->rel gather
+            # scalarised, ~12s per 3072-lane batch).
+            _, post_rel, flc, flr, tc, tr = posteriors_weights_pallas_circ(
                 tables, dev,
                 circ_flush_rows(batch, d1k),
                 circ_row_flush_rows(batch, d1k),
+                circ_lo_mod_rows(batch, d1k),
             )
             rowcol = rowcol_sums_from_flushed(batch, flc, flr, tc, tr)
-            return batch, circ_to_rel_device(post_c, batch.lo), rowcol
+            return batch, post_rel, rowcol
         _, post_dev = fb_posteriors(tables, dev)
         if isinstance(dev, CircDeviceBatch):
             from ..ops.band import circ_to_rel_device

@@ -57,7 +57,11 @@ def accumulate_expectations(
     }
     if options.no_margin:
         # Weight 1.0 per aligned pair of the input alignment
-        # (marginCallerLib.py:69 with --rescoreOriginalAlignment).
+        # (marginCallerLib.py:69 with --rescoreOriginalAlignment).  The
+        # reference still runs a cPecanRealign rescore pass in this mode
+        # and then discards its posteriors; that pass is intentionally
+        # elided here — output-equivalent, since only the weight-1.0
+        # pairs reach the expectations.
         for rec in sam.mapped():
             exp = expectations[rec.rname]
             seq = rec.query_sequence

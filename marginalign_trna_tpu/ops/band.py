@@ -482,6 +482,20 @@ def circ_row_flush_rows(batch: BandedBatch, pad_to: int) -> np.ndarray:
     return frr.astype(np.int32)
 
 
+def circ_lo_mod_rows(batch: BandedBatch, pad_to: int) -> np.ndarray:
+    """lom [pad_to, B] int32 = lo(d) mod Wp (edge-replicated past the
+    packed steps): the per-diagonal rotation the fused mw forward applies
+    to emit its posterior band in band-relative layout
+    (rel[k] = circ[(lo + k) mod Wp])."""
+    D1, B = batch.lo.shape
+    lo = batch.lo.astype(np.int64)
+    if pad_to > D1:
+        lo = np.concatenate(
+            [lo, np.repeat(lo[-1:, :], pad_to - D1, axis=0)], axis=0
+        )
+    return (lo % batch.wp).astype(np.int32)
+
+
 def circ_to_rel(values_c: np.ndarray, batch: BandedBatch) -> np.ndarray:
     """Convert a circular-layout [D1, Wp, B] per-cell array (e.g. the
     posterior band) back to the band-relative layout: rel[d, k] =

@@ -177,6 +177,168 @@ def pad_group_rows(vals: jnp.ndarray, jmap: jnp.ndarray):
     return vals, jmap
 
 
+def _make_bucket_scatter_lanesum_kernel(rg: int, C: int):
+    """Kernel over grid (G,): all C channels per group (they share one
+    jmap, so the residue masks are computed once), and the merge stage
+    reduces over lanes — output [C, rg] instead of [C, rg, B].  For
+    consumers that sum lanes anyway (the caller's global expectation
+    vector) this removes the VMEM-resident [rg, B] accumulator, its
+    read-modify-writes, and any need to chunk rg."""
+
+    def kernel(vals_ref, jmap_ref, out_ref, bk_ref, vb_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _init():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+
+        B = jmap_ref.shape[1]
+        riota = jax.lax.broadcasted_iota(jnp.int32, (GROUP, B), 0)
+        bk_ref[:, :] = jnp.zeros_like(bk_ref)
+        vb_ref[:, :] = jnp.full_like(vb_ref, -1)
+
+        def body(u, _):
+            j = jmap_ref[u][None, :]
+            r = jnp.where(j >= 0, jnp.remainder(j, GROUP), -1)
+            mask = riota == r
+            for c in range(C):
+                v = vals_ref[c, u][None, :]
+                bk_ref[c * GROUP : (c + 1) * GROUP, :] = (
+                    bk_ref[c * GROUP : (c + 1) * GROUP, :]
+                    + jnp.where(mask, v, 0.0)
+                )
+            vb_ref[:, :] = jnp.where(mask, j, vb_ref[:, :])
+            return 0
+
+        jax.lax.fori_loop(0, GROUP, body, 0, unroll=1)
+
+        vb = vb_ref[:, :]
+        t2 = jnp.where(vb >= 0, vb // GROUP, jnp.int32(-1))
+        n_blocks = rg // GROUP
+
+        # Output is positions-major [rgp, C]: the lane-reduced [GROUP, 1]
+        # contribution writes straight into a sublane-dim slice (no
+        # sublane->lane transpose, which Mosaic can't lower cheaply).
+        for s in range(n_blocks):
+            sel = t2 == s
+
+            @pl.when(jnp.any(sel))
+            def _merge(s=s, sel=sel):
+                for c in range(C):
+                    contrib = jnp.where(
+                        sel, bk_ref[c * GROUP : (c + 1) * GROUP, :], 0.0
+                    ).sum(axis=1, keepdims=True)
+                    cur = out_ref[s * GROUP : (s + 1) * GROUP, c : c + 1]
+                    out_ref[s * GROUP : (s + 1) * GROUP, c : c + 1] = (
+                        cur + contrib
+                    )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("rg",))
+def bucket_scatter_lanesum(vals, jmap, rg: int):
+    """[rg, C] f32: like bucket_scatter but summed over lanes.
+
+    out[v, c] = sum over (d, b) of vals[c, d, b] where jmap[d, b] == v.
+    Same preconditions as bucket_scatter; rg needs no chunking (the
+    output is [rg, C], not [C, rg, B])."""
+    C, D, B = vals.shape
+    rgp = _round_up(rg, GROUP)
+    assert D % GROUP == 0
+    G = D // GROUP
+
+    out = pl.pallas_call(
+        _make_bucket_scatter_lanesum_kernel(rgp, C),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((C, GROUP, B), lambda g: (0, g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, B), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rgp, C), lambda g: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rgp, C), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((C * GROUP, B), jnp.float32),
+            pltpu.VMEM((GROUP, B), jnp.int32),
+        ],
+        interpret=_use_interpret(),
+        compiler_params=_compiler_params(min_mb=128),
+    )(vals, jmap)
+    return out[:rg]
+
+
+def _make_monotone_gather_kernel(rg: int):
+    """Kernel over grid (G,): sequential groups of GROUP output rows."""
+
+    def kernel(idx_ref, src_ref, out_ref, pick_ref):
+        idx = idx_ref[:, :]                       # [GROUP, B] int32
+        B = idx.shape[1]
+        # Within a group the requested values span [a, a+GROUP-1] (idx
+        # advances 0/1 per row), so each residue r mod GROUP names at
+        # most one requested value v_r; its source block is one of two
+        # consecutive blocks, selected per lane by masks against
+        # residue-ALIGNED whole-block reads of src (no gathers).
+        a = idx[0:1, :]                           # [1, B]
+        rr = jax.lax.broadcasted_iota(jnp.int32, (GROUP, B), 0)
+        v_r = a + jnp.remainder(rr - a, GROUP)    # [GROUP, B]
+        blk = v_r // GROUP
+        pick_ref[:, :] = jnp.zeros_like(pick_ref)
+
+        for s in range(rg // GROUP):
+            sel = blk == s
+
+            @pl.when(jnp.any(sel))
+            def _pick(s=s, sel=sel):
+                pick_ref[:, :] = pick_ref[:, :] + jnp.where(
+                    sel, src_ref[s * GROUP : (s + 1) * GROUP, :], 0.0
+                )
+
+        # out[u, b] = pick[idx[u, b] mod GROUP, b]: residue masks again.
+        rmod = jnp.remainder(idx, GROUP)
+        pick = pick_ref[:, :]
+        acc = jnp.zeros_like(out_ref[:, :])
+        for r in range(GROUP):
+            acc = acc + jnp.where(rmod == r, pick[r : r + 1, :], 0.0)
+        out_ref[:, :] = acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=())
+def monotone_gather(src, idx):
+    """[D, B] f32 with out[u, b] = src[idx[u, b], b].
+
+    idx int32 must advance by 0 or 1 per row within every aligned
+    GROUP-row window (the monotone band-offset streams do), so requested
+    values per group span < GROUP and residues mod GROUP are unique.
+    D and src rows must be GROUP multiples; idx must be in range.
+    Replaces per-lane take_along_axis, which scalarises on TPU
+    (benchmarks/gather_probe.py: ~150ms per [4096, B] gather)."""
+    D, B = idx.shape
+    rg = src.shape[0]
+    assert D % GROUP == 0 and rg % GROUP == 0
+    G = D // GROUP
+
+    return pl.pallas_call(
+        _make_monotone_gather_kernel(rg),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((GROUP, B), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # src resident
+        ],
+        out_specs=pl.BlockSpec((GROUP, B), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, B), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((GROUP, B), jnp.float32)],
+        interpret=_use_interpret(),
+        compiler_params=_compiler_params(min_mb=128),
+    )(idx, src)
+
+
 def group_spread_ok(jmap_np: np.ndarray, rg: int) -> bool:
     """Host check: are all targets in range?  (The static-block merge
     stage has no per-group spread constraint; this only guards against

@@ -360,6 +360,23 @@ def _scatter_assemble(fl, tails, jmap, jtail, rg):
     return bucket_scatter_chunked(vals, jmd, rg)
 
 
+def _scatter_assemble_lanesum(fl, tails, jmap, jtail, rg):
+    """[rg, C] lane-summed scatter assembly (bucket_scatter_lanesum), or
+    None on precondition violation.  For consumers that reduce over
+    lanes anyway (the caller's global expectation vector) this skips the
+    [C, rg, B] intermediate and its rg-chunking entirely."""
+    from .bucket_scatter import (
+        bucket_scatter_lanesum, group_spread_ok, pad_group_rows,
+    )
+
+    jm = np.concatenate([jmap, jtail], axis=0)
+    if not group_spread_ok(jm, rg):
+        return None
+    vals = jnp.concatenate([fl, tails], axis=1)
+    vals, jmd = pad_group_rows(vals, jnp.asarray(jm))
+    return bucket_scatter_lanesum(vals, jmd, rg)
+
+
 @jax.jit
 def fused_gather_sums(fl, tail, df, ti):
     """[rg, B] per-lane position sums from a single-channel flushed
@@ -420,9 +437,7 @@ def band_expectations_cx(
     out = None
     if _use_scatter_assembly():
         jmap, jtail = fused_flush_jmaps(batch, ref_offsets, n_real, d1k)
-        out3 = _scatter_assemble(fl, tails, jmap, jtail, rg)
-        if out3 is not None:
-            out = _sum_lanes_t(out3)[:rg]
+        out = _scatter_assemble_lanesum(fl, tails, jmap, jtail, rg)
     if out is None:
         df, ti = fused_expectation_indices(
             batch, ref_offsets, rg, n_real, d1k

@@ -2940,11 +2940,16 @@ def _make_fwd_kernel_circ_cx(st, gc):
 
 
 def _posteriors_circ_cx(st, gc, cdev, fr):
-    """Caller-fused serving: emw backward (writes the signed emission
-    stream, no precompute pass) + cx forward (no posterior band output —
-    fused expectation accumulation).  Returns
+    """Caller-fused serving: sv backward (XLA-precomputed signed
+    emission stream) + cx forward (no posterior band output — fused
+    expectation accumulation).  Returns
     (logZ [B], fl [4, D1K, B] flushed completed-position totals,
-    tails [4, Wp, B] end-of-stream accumulators)."""
+    tails [4, Wp, B] end-of-stream accumulators).
+
+    Round-4 measurement moved this off the emw backward: computing
+    emissions inside the backward's sequential body costs far more than
+    the precompute pass it saves (11.1e9 vs 15.7e9 cells/s standalone,
+    benchmarks/pipelined_sweep.py emw vs sv)."""
     D1, Wp, B = cdev.xb.shape
     K = STEP_BLOCK
     D1K = -(-D1 // K) * K
@@ -2976,25 +2981,25 @@ def _posteriors_circ_cx(st, gc, cdev, fr):
     bwd_scratch = scratch + [
         pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32),
     ]
-    bm, bls2, zrow, es = pl.pallas_call(
-        _make_bwd_kernel_circ_emw(st, gc),
+    vf = valid.astype(jnp.float32)
+    es = _precompute_ematch(st, xb, yb) * vf - (1.0 - vf)
+    bm, bls2, zrow = pl.pallas_call(
+        _make_bwd_kernel_circ_sv(st, gc),
         grid=(G,),
-        in_specs=[rev3, rev3, rev3, full, full],
+        in_specs=[rev3, full, full],
         out_specs=[rev3, rev2,
                    pl.BlockSpec((1, 1, B), lambda i: (0, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   rev3],
+                                memory_space=pltpu.VMEM)],
         out_shape=[
             jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
             jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
             jax.ShapeDtypeStruct((1, 1, B), jnp.float32),
-            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
         ],
         scratch_shapes=bwd_scratch,
         interpret=_use_interpret(),
         **({"compiler_params": _compiler_params()}
            if _compiler_params() else {}),
-    )(valid, xb, yb, fink, find)
+    )(es, fink, find)
 
     logZ = (
         jnp.log(jnp.maximum(zrow[0, 0, :], 1e-30)) + bls2[0, 0, :]
@@ -3047,7 +3052,7 @@ def _make_fwd_kernel_circ_mw(st, gc):
     ch = _gap_chain_consts(st, gc)
 
     def kernel(
-        es_ref, fr_ref, frr_ref, bm_ref, bls_ref, logZ_ref,
+        es_ref, fr_ref, frr_ref, lom_ref, bm_ref, bls_ref, logZ_ref,
         post_ref, flc_ref, flr_ref, tc_ref, tr_ref,
         f1_0, f1_1, f1_2, f1_3, f1_4, f2_0, f2_1, f2_2, f2_3, f2_4,
         ls_ref, cprev_ref, accc_ref, accr_ref,
@@ -3147,7 +3152,22 @@ def _make_fwd_kernel_circ_mw(st, gc):
 
             alpha = jnp.exp(ls + bls_ref[kb] - logZ)  # [1, B]
             post = f1_next[0] * bm_ref[kb] * alpha
-            post_ref[kb] = post
+            # Emit the posterior row in BAND-RELATIVE layout:
+            # rel[k] = circ[(k + lo) mod Wp], done as Wp static
+            # roll+selects on the OUTPUT only (off the sequential
+            # chain).  The host-side circ->rel take_along_axis this
+            # replaces scalarises (~12s per 3072-lane batch;
+            # benchmarks/pipelined_sweep.py c2r isolation).
+            lom = lom_ref[kb]  # [1, B] = lo(d) mod Wp
+            Wp_k = post.shape[0]
+            rel = jnp.zeros_like(post)
+            for sh in range(Wp_k):
+                rel = jnp.where(
+                    lom == sh,
+                    pltpu.roll(post, (Wp_k - sh) % Wp_k, axis=0),
+                    rel,
+                )
+            post_ref[kb] = rel
             pm = post
             if kb == 0:
                 # Origin cell: start distribution, emits nothing.
@@ -3188,10 +3208,13 @@ def _make_fwd_kernel_circ_mw(st, gc):
     return kernel
 
 
-def _posteriors_circ_mw(st, gc, cdev, fr, frr):
-    """Realign-fused serving: emw backward + mw forward.  Returns
-    (logZ [B], post band [D1, Wp, B] circular, flc/flr [D1K, B] flushed
-    col/row posterior sums, tc/tr [Wp, B] accumulator tails)."""
+def _posteriors_circ_mw(st, gc, cdev, fr, frr, lom):
+    """Realign-fused serving: sv backward (XLA-precomputed signed
+    emission stream; see _posteriors_circ_cx for why not emw) + mw
+    forward.  Returns (logZ [B], post band [D1, Wp, B] BAND-RELATIVE —
+    the forward converts layout on output, lom = lo mod Wp stream,
+    flc/flr [D1K, B] flushed col/row posterior sums, tc/tr [Wp, B]
+    accumulator tails)."""
     D1, Wp, B = cdev.xb.shape
     K = STEP_BLOCK
     D1K = -(-D1 // K) * K
@@ -3204,6 +3227,7 @@ def _posteriors_circ_mw(st, gc, cdev, fr, frr):
     find = cdev.final_d.astype(jnp.int32)[None, :]
     fr3 = fr[:, None, :]
     frr3 = frr[:, None, :]
+    lom3 = lom[:, None, :]
 
     blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -3224,25 +3248,25 @@ def _posteriors_circ_mw(st, gc, cdev, fr, frr):
     bwd_scratch = scratch + [
         pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32),
     ]
-    bm, bls2, zrow, es = pl.pallas_call(
-        _make_bwd_kernel_circ_emw(st, gc),
+    vf = valid.astype(jnp.float32)
+    es = _precompute_ematch(st, xb, yb) * vf - (1.0 - vf)
+    bm, bls2, zrow = pl.pallas_call(
+        _make_bwd_kernel_circ_sv(st, gc),
         grid=(G,),
-        in_specs=[rev3, rev3, rev3, full, full],
+        in_specs=[rev3, full, full],
         out_specs=[rev3, rev2,
                    pl.BlockSpec((1, 1, B), lambda i: (0, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   rev3],
+                                memory_space=pltpu.VMEM)],
         out_shape=[
             jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
             jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
             jax.ShapeDtypeStruct((1, 1, B), jnp.float32),
-            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
         ],
         scratch_shapes=bwd_scratch,
         interpret=_use_interpret(),
         **({"compiler_params": _compiler_params()}
            if _compiler_params() else {}),
-    )(valid, xb, yb, fink, find)
+    )(es, fink, find)
 
     logZ = (
         jnp.log(jnp.maximum(zrow[0, 0, :], 1e-30)) + bls2[0, 0, :]
@@ -3254,7 +3278,7 @@ def _posteriors_circ_mw(st, gc, cdev, fr, frr):
     post, flc, flr, tc, tr = pl.pallas_call(
         _make_fwd_kernel_circ_mw(st, gc),
         grid=(G,),
-        in_specs=[blk3, blk2, blk2, blk3, blk2, full],
+        in_specs=[blk3, blk2, blk2, blk2, blk3, blk2, full],
         out_specs=[blk3, blk2, blk2, tail_spec, tail_spec],
         out_shape=[
             jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
@@ -3267,26 +3291,29 @@ def _posteriors_circ_mw(st, gc, cdev, fr, frr):
         interpret=_use_interpret(),
         **({"compiler_params": _compiler_params()}
            if _compiler_params() else {}),
-    )(es, fr3, frr3, bm, bls2, logZ[None, :])
+    )(es, fr3, frr3, lom3, bm, bls2, logZ[None, :])
     return logZ, post[:D1], flc[:, 0, :], flr[:, 0, :], tc, tr
 
 
 @functools.partial(jax.jit, static_argnames=("st",))
-def _posteriors_circ_mw_static(st, cdev, fr, frr):
+def _posteriors_circ_mw_static(st, cdev, fr, frr, lom):
     gc = _flat_gap_consts(st)
     assert gc is not None, "circular path needs flat gap emissions"
-    return _posteriors_circ_mw(st, gc, cdev, fr, frr)
+    return _posteriors_circ_mw(st, gc, cdev, fr, frr, lom)
 
 
-def posteriors_weights_pallas_circ(tables: FbTables, cdev, fr, frr):
+def posteriors_weights_pallas_circ(tables: FbTables, cdev, fr, frr, lom):
     """Fused realign serving over a fb.CircDeviceBatch: the forward
     accumulates the MEA gap-weight row/col posterior sums in VMEM while
-    writing the posterior band.  fr/frr are band.circ_flush_rows /
+    writing the posterior band in BAND-RELATIVE layout (lom =
+    band.circ_lo_mod_rows stream; the layout conversion happens on the
+    kernel's output write).  fr/frr are band.circ_flush_rows /
     circ_row_flush_rows streams.  Assemble per-position sums with
     ops.mea.rowcol_sums_from_flushed."""
     check_uniform_pi(tables)
     return _posteriors_circ_mw_static(
-        static_tables(tables), cdev, jnp.asarray(fr), jnp.asarray(frr)
+        static_tables(tables), cdev, jnp.asarray(fr), jnp.asarray(frr),
+        jnp.asarray(lom),
     )
 
 
@@ -3766,10 +3793,11 @@ def posteriors_pallas_circ(tables: FbTables, cdev, mode=None):
     roll+select pairs (measured +9% vs the band-relative path on v5e).
 
     mode (MARGINALIGN_CIRC_SERVE) picks the stream diet:
-      - "em":   precomputed f32 emission stream (fastest measured; default)
-      - "sv":   like "em" but the emission stream is SIGNED (validity in
-        the sign bit, es = em*valid - (1-valid)) so neither kernel reads
-        the int8 valid stream
+      - "sv":   SIGNED precomputed emission stream (validity in the sign
+        bit, es = em*valid - (1-valid)) so neither kernel reads the int8
+        valid stream — fastest measured (15.7e9 vs em 13.9e9 cells/s at
+        B=3072, benchmarks/pipelined_sweep.py round 4); the default
+      - "em":   unsigned f32 emission stream + int8 valid stream
       - "emw":  the backward computes emissions in-kernel from the int8
         code streams and writes the signed stream for the forward — no
         XLA emission-precompute pass at all
@@ -3780,9 +3808,9 @@ def posteriors_pallas_circ(tables: FbTables, cdev, mode=None):
         from a 48/K B/cell frontier checkpoint (bit-identical numerics).
         Slowest (the replay doubles the posterior-pass body) but smallest
         footprint.
-    All modes produce identical posteriors up to float noise; em/lean/ckpt
-    throughputs are recorded in docs/KERNELS.md (round-3 table); sv/emw
-    are measured by benchmarks/pipelined_sweep.py."""
+    All modes produce identical posteriors up to float noise; measured
+    throughputs are recorded in docs/KERNELS.md (round-3 em/lean/ckpt
+    table, round-4 sv/emw/fused table)."""
     check_uniform_pi(tables)
     if mode is None:
         env = __import__("os").environ.get("MARGINALIGN_CIRC_SERVE", "")
@@ -3791,7 +3819,7 @@ def posteriors_pallas_circ(tables: FbTables, cdev, mode=None):
         elif __import__("os").environ.get("MARGINALIGN_CIRC_LEAN") == "1":
             mode = "lean"
         else:
-            mode = "em"
+            mode = "sv"
     return _posteriors_circ_static(static_tables(tables), cdev, mode)
 
 

@@ -273,18 +273,24 @@ def mea_decode(
 
     mode = os.environ.get("MARGINALIGN_MEA", "")
     use_device = use_pallas() if mode == "" else mode == "device"
-    if rowcol is not None or use_device:
+    if rowcol is not None:
+        # Fused mw serving path: the delay-line MEA kernel builds the
+        # gap-weight windows in VMEM from the per-position sums, so
+        # wdiag/wup/wleft are never materialised in HBM (and the
+        # take_along_axis gather-back, which scalarises on TPU, is
+        # replaced by two monotone_gather entering-value streams).
+        accr, accc = rowcol
+        from .wavefront_pallas import banded_mea_pallas_dl
+
+        res = banded_mea_pallas_dl(
+            jnp.asarray(post), batch.valid, batch.s1, batch.s2,
+            batch.final_d, batch.final_k, batch.lo, accr, accc,
+            gap_gamma, match_gamma,
+        )
+    elif use_device:
         # Weights and DP stay on device; only pointers cross to the host.
         post_dev = jnp.asarray(post)
-        if rowcol is not None:
-            accr, accc = rowcol
-            wup, wleft = _weights_from_sums_jit(
-                accr, accc, jnp.asarray(batch.valid),
-                jnp.asarray(batch.lo), jnp.float32(gap_gamma),
-                rgm=int(accr.shape[0]), rgn=int(accc.shape[0]),
-            )
-        else:
-            wup, wleft = mea_weights_device(post_dev, batch, gap_gamma)
+        wup, wleft = mea_weights_device(post_dev, batch, gap_gamma)
         wdiag = jnp.where(
             (post_dev >= match_gamma) & (post_dev > 0), post_dev, NEG
         ).astype(jnp.float32)

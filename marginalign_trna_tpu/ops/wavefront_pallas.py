@@ -24,6 +24,8 @@ the f32 weight streams).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -436,6 +438,190 @@ def banded_mea_pallas(
 
 
 # ---------------------------------------------- MEA over multi-problem lanes
+
+
+def _mea_kernel_dl(
+    post_ref, valid_ref, s1_ref, s2_ref, fink_ref, er_ref, ec_ref,
+    initup_ref, params_ref,
+    ptr_ref, term_ref,
+    a1_ref, a2_ref, wu_ref, wl_ref,
+):
+    """MEA decode with DELAY-LINE gap weights: instead of reading
+    pre-materialised wup/wleft [D1, Wp, B] streams (8 B/cell of HBM
+    traffic each way, built by a per-lane take_along_axis that
+    scalarises on TPU — benchmarks/pipelined_sweep.py 'wgo' mode), the
+    kernel carries the band window of per-position gap weights in VMEM
+    scratch and shifts in ONE entering value per diagonal per side:
+
+      wup window row k holds g_read[lo(d)+k-1]; when the band steps
+      (s1==1) the window rolls up and g_read[lo(d)+Wp-2] (the er
+      stream) enters at the top row.  wleft row k holds
+      g_ref[d-lo(d)-k-1]; when the band does NOT step (s1==0) it rolls
+      down and g_ref[d-lo(d)-1] (ec) enters at row 0.  Entering values
+      for rows that are out of band are bounded garbage ([0, gapGamma])
+      masked the same way the rolled score frontier's wrapped rows are.
+
+    The wdiag mask (post >= matchGamma, else NEG) is applied in-kernel
+    from the raw posterior band, so no masked copy is materialised
+    either.  Reference semantics: gap weights gapGamma*(1 - posterior
+    row/col mass), marginAlignLib.py AMAP realignment."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        neg = jnp.full_like(a1_ref[:, :], NEG)
+        row0 = jax.lax.broadcasted_iota(jnp.int32, neg.shape, 0) == 0
+        a1_ref[:, :] = jnp.where(row0, 0.0, NEG)
+        a2_ref[:, :] = neg
+        wu_ref[:, :] = initup_ref[:, :]
+        wl_ref[:, :] = jnp.zeros_like(wl_ref)
+
+    a1 = a1_ref[:, :]
+    a2 = a2_ref[:, :]
+    wu_w = wu_ref[:, :]
+    wl_w = wl_ref[:, :]
+    Wp = a1.shape[0]
+    kidx = jax.lax.broadcasted_iota(jnp.int32, a1.shape, 0)
+    mg = params_ref[0, 0]
+
+    for kb in range(STEP_BLOCK):
+        valid = valid_ref[kb].astype(jnp.float32) != 0.0
+        s1 = s1_ref[kb]
+        s2 = s2_ref[kb]
+        post = post_ref[kb]
+        wd = jnp.where((post >= mg) & (post > 0), post, NEG)
+
+        wu_new = _roll_shift(wu_w, s1 == 1, False)
+        wu_new = jnp.where((kidx == Wp - 1) & (s1 == 1),
+                           er_ref[kb], wu_new)
+        wl_new = _roll_shift(wl_w, False, s1 == 0)
+        wl_new = jnp.where((kidx == 0) & (s1 == 0),
+                           ec_ref[kb], wl_new)
+        if kb == 0:
+            is_first = i == 0
+            wu_new = jnp.where(is_first, wu_w, wu_new)
+            wl_new = jnp.where(is_first, wl_w, wl_new)
+
+        diag = _roll_shift(a2, s2 == 2, s2 == 0) + wd
+        left = _roll_shift(a1, s1 == 1, False) + wl_new
+        up = _roll_shift(a1, False, s1 == 0) + wu_new
+
+        a_new, ptr = _max_argmax3(diag, left, up)
+        a_new = jnp.where(valid, a_new, NEG)
+
+        if kb == 0:
+            a_new = jnp.where(is_first, a1, a_new)
+            a2_next = jnp.where(is_first, a2, a1)
+            ptr = jnp.where(is_first, 0, ptr)
+        else:
+            a2_next = a1
+
+        sel = kidx == fink_ref[kb]
+        term_ref[kb] = jnp.where(sel, a_new, NEG).max(axis=0, keepdims=True)
+        ptr_ref[kb] = ptr
+        a1, a2 = a_new, a2_next
+        wu_w, wl_w = wu_new, wl_new
+
+    a1_ref[:, :] = a1
+    a2_ref[:, :] = a2
+    wu_ref[:, :] = wu_w
+    wl_ref[:, :] = wl_w
+
+
+@functools.partial(jax.jit, static_argnames=("rgm", "rgn"))
+def _mea_dl_jit(post, valid, s1, s2, final_k, lo, accr, accc,
+                gap_gamma, match_gamma, rgm: int, rgn: int):
+    """Pointers + terminal scores via the delay-line MEA kernel.
+
+    accr/accc are the per-position posterior row/col sums (the fused mw
+    serving path's assembled flush streams); the entering-value streams
+    are built by two monotone_gather calls (no scalarised gathers
+    anywhere on this path)."""
+    from .bucket_scatter import GROUP, monotone_gather
+
+    D1, Wp, B = post.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+    G = D1K // K
+    D1G = -(-D1K // GROUP) * GROUP
+
+    g_read = gap_gamma * jnp.clip(1.0 - accr, 0.0, 1.0)  # [rgm, B]
+    g_ref = gap_gamma * jnp.clip(1.0 - accc, 0.0, 1.0)   # [rgn, B]
+
+    lo32 = lo.astype(jnp.int32)
+    lo_pad = jnp.concatenate(
+        [lo32, jnp.broadcast_to(lo32[-1:], (D1G - D1, B))], axis=0
+    )
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (D1G, B), 0)
+    er_idx = jnp.clip(lo_pad + Wp - 2, 0, rgm - 1)
+    ec_idx = jnp.clip(d_iota - lo_pad - 1, 0, rgn - 1)
+    er = monotone_gather(g_read, er_idx)[:D1K, None, :]
+    ec = monotone_gather(g_ref, ec_idx)[:D1K, None, :]
+
+    k_io = jax.lax.broadcasted_iota(jnp.int32, (Wp, B), 0)
+    initup = jnp.where(
+        k_io >= 1,
+        jnp.concatenate(
+            [jnp.zeros((1, B), g_read.dtype), g_read[: Wp - 1]], axis=0
+        ),
+        0.0,
+    )
+
+    pm = _pad_steps(post, D1K)
+    va = _pad_steps(valid.astype(jnp.int8), D1K)
+    s1p = _pad_steps(s1.astype(jnp.int32), D1K)[:, None, :]
+    s2p = _pad_steps(s2.astype(jnp.int32), D1K)[:, None, :]
+    fink = jnp.broadcast_to(
+        final_k.astype(jnp.int32)[None, None, :], (D1K, 1, B)
+    )
+    params = jnp.full((1, 2), match_gamma, jnp.float32)
+
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    ptrs, terms = pl.pallas_call(
+        _mea_kernel_dl,
+        grid=(G,),
+        in_specs=[blk3, blk3, blk2, blk2, blk2, blk2, blk2, full, full],
+        out_specs=[blk3, blk2],
+        out_shape=[
+            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.int32),
+            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Wp, B), jnp.float32)
+                        for _ in range(4)],
+        interpret=_use_interpret(),
+    )(pm, va, s1p, s2p, fink, er, ec, initup, params)
+    return ptrs, terms
+
+
+def banded_mea_pallas_dl(
+    post, valid, s1, s2, final_d, final_k, lo, accr, accc,
+    gap_gamma: float, match_gamma: float,
+):
+    """Drop-in banded_mea from the RAW posterior band + per-position
+    row/col sums (same MeaResult as banded_mea_pallas, which takes
+    pre-built wdiag/wup/wleft streams)."""
+    from .mea import MeaResult
+
+    D1 = post.shape[0]
+    B = post.shape[2]
+    ptrs, terms = _mea_dl_jit(
+        jnp.asarray(post), jnp.asarray(valid), jnp.asarray(s1),
+        jnp.asarray(s2), jnp.asarray(final_k), jnp.asarray(lo),
+        jnp.asarray(accr), jnp.asarray(accc),
+        jnp.float32(gap_gamma), jnp.float32(match_gamma),
+        rgm=int(accr.shape[0]), rgn=int(accc.shape[0]),
+    )
+    d_idx = jnp.asarray(final_d).astype(jnp.int32)
+    b_idx = jnp.arange(B)
+    return MeaResult(
+        pointers=ptrs[:D1].astype(jnp.uint8),
+        score=terms[d_idx, 0, b_idx],
+    )
 
 
 def _mea_kernel_multi(

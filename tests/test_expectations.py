@@ -105,3 +105,57 @@ def test_bucket_scatter_spread_check():
     assert group_spread_ok(jmap, 1024)  # wide spread, in range: fine
     jmap[1, 1] = 100
     assert group_spread_ok(jmap, 256)
+
+
+def test_monotone_gather_matches_numpy(rng):
+    """The gather-free monotone_gather kernel (interpret mode) matches a
+    direct numpy take_along_axis for 0/1-step index streams."""
+    import jax.numpy as jnp
+
+    from marginalign_trna_tpu.ops.bucket_scatter import (
+        GROUP, monotone_gather,
+    )
+
+    D, B, rg = 3 * GROUP, 4, 4 * GROUP
+    src = rng.random((rg, B)).astype(np.float32)
+    idx = np.zeros((D, B), np.int32)
+    for b in range(B):
+        v = int(rng.integers(0, GROUP))
+        for u in range(D):
+            idx[u, b] = v
+            if rng.random() < 0.6 and v < rg - 1:
+                v += 1
+    want = np.take_along_axis(src, idx, axis=0)
+    got = np.asarray(monotone_gather(jnp.asarray(src), jnp.asarray(idx)))
+    assert np.allclose(got, want), np.abs(got - want).max()
+
+
+def test_bucket_scatter_lanesum_matches_numpy(rng):
+    """The lane-summed scatter (caller assembly) matches a direct numpy
+    scatter-and-sum."""
+    import jax.numpy as jnp
+
+    from marginalign_trna_tpu.ops.bucket_scatter import (
+        bucket_scatter_lanesum, pad_group_rows,
+    )
+
+    D, B, C, rg = 500, 4, 3, 520
+    jmap = np.full((D, B), -1, np.int32)
+    for b in range(B):
+        v = int(rng.integers(0, 5))
+        for d in range(D):
+            if rng.random() < 0.55 and v < rg:
+                jmap[d, b] = v
+                v += 1
+    vals = rng.random((C, D, B)).astype(np.float32)
+
+    want = np.zeros((rg, C), np.float32)
+    for b in range(B):
+        for d in range(D):
+            if jmap[d, b] >= 0:
+                want[jmap[d, b], :] += vals[:, d, b]
+
+    v_p, j_p = pad_group_rows(jnp.asarray(vals), jnp.asarray(jmap))
+    got = np.asarray(bucket_scatter_lanesum(v_p, j_p, rg))
+    assert got.shape == (rg, C)
+    assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
