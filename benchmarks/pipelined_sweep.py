@@ -151,7 +151,8 @@ def run_one():
             if mode == "cxg":
                 return serve_cxg(s, c, fr, dfj, tij)
             return serve_cx(s, c, fr, jmj)
-    elif mode in ("mw", "mwk", "mwold", "wgo", "rold", "rnew", "c2r"):
+    elif mode in ("mw", "mwk", "mwold", "wgo", "rold", "rnew", "c2r",
+                  "dlk", "mg", "ssc1"):
         # Fused realign serving (mw kernel) vs the old two-pass path,
         # both measured to the same product: posterior band + (wup,
         # wleft) MEA gap weights.  mwk = mw kernel only (no assembly).
@@ -295,7 +296,47 @@ def run_one():
             # default realign path).
             return sumj(circ_to_rel_device(p, loj))
 
+        from marginalign_trna_tpu.ops.bucket_scatter import (
+            monotone_gather,
+        )
+        from marginalign_trna_tpu.ops.wavefront_pallas import _mea_dl_jit
+
+        accr0f = jnp.zeros((rgm, B), jnp.float32)
+        accc0f = jnp.zeros((rgn, B), jnp.float32)
+        post0f = jnp.zeros(batch.valid.shape, jnp.float32)
+        d1g = -(-d1k // 128) * 128
+        mgidx = jnp.asarray(
+            np.minimum(
+                np.arange(d1g, dtype=np.int32)[:, None]
+                + np.zeros((1, B), np.int32), rgm - 1
+            )
+        )
+        g0 = jnp.zeros((rgm, B), jnp.float32)
+
+        def serve_dlk(postv, ar, ac):
+            ptrs, terms = _mea_dl_jit(
+                postv, validj, s1j, s2j, fkj, loj, ar, ac,
+                jnp.float32(0.5), jnp.float32(0.0), rgm=rgm, rgn=rgn,
+            )
+            return ptrsumj(terms, terms, ptrs)
+
+        def serve_mg(srcv, idxv):
+            return sumj(monotone_gather(srcv, idxv))
+
+        def serve_ssc1(flv, tcv):
+            out = _scatter_assemble(flv, tcv, jmc, jtc, rgn)
+            return sumj(out)
+
+        fl1 = jnp.zeros((1, d1k, B), jnp.float32)
+        tc1 = jnp.zeros((1, batch.wp, B), jnp.float32)
+
         def serve_scalar(s, c, m):
+            if mode == "dlk":
+                return serve_dlk(post0f, accr0f, accc0f)
+            if mode == "mg":
+                return serve_mg(g0, mgidx)
+            if mode == "ssc1":
+                return serve_ssc1(fl1, tc1)
             if mode == "mwk":
                 return serve_mwk(s, c, fr, frr)
             if mode == "mwold":

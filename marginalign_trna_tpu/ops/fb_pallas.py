@@ -2664,8 +2664,7 @@ def _posteriors_circ_sv(st, gc, cdev):
         ],
         scratch_shapes=bwd_scratch,
         interpret=_use_interpret(),
-        **({"compiler_params": _compiler_params()}
-           if _compiler_params() else {}),
+        compiler_params=_compiler_params(min_mb=64),
     )(es, fink, find)
 
     logZ = (
@@ -2997,8 +2996,7 @@ def _posteriors_circ_cx(st, gc, cdev, fr):
         ],
         scratch_shapes=bwd_scratch,
         interpret=_use_interpret(),
-        **({"compiler_params": _compiler_params()}
-           if _compiler_params() else {}),
+        compiler_params=_compiler_params(min_mb=64),
     )(es, fink, find)
 
     logZ = (
@@ -3022,8 +3020,7 @@ def _posteriors_circ_cx(st, gc, cdev, fr):
         ),
         scratch_shapes=cx_scratch,
         interpret=_use_interpret(),
-        **({"compiler_params": _compiler_params()}
-           if _compiler_params() else {}),
+        compiler_params=_compiler_params(min_mb=64),
     )(es, yb, fr3, bm, bls2, logZ[None, :])
     fl = jnp.stack([outs[c][:, 0, :] for c in range(4)])   # [4, D1K, B]
     tails = jnp.stack(list(outs[4:8]))                     # [4, Wp, B]
@@ -3264,8 +3261,7 @@ def _posteriors_circ_mw(st, gc, cdev, fr, frr, lom):
         ],
         scratch_shapes=bwd_scratch,
         interpret=_use_interpret(),
-        **({"compiler_params": _compiler_params()}
-           if _compiler_params() else {}),
+        compiler_params=_compiler_params(min_mb=64),
     )(es, fink, find)
 
     logZ = (
@@ -3289,8 +3285,7 @@ def _posteriors_circ_mw(st, gc, cdev, fr, frr, lom):
         ],
         scratch_shapes=mw_scratch,
         interpret=_use_interpret(),
-        **({"compiler_params": _compiler_params()}
-           if _compiler_params() else {}),
+        compiler_params=_compiler_params(min_mb=64),
     )(es, fr3, frr3, lom3, bm, bls2, logZ[None, :])
     return logZ, post[:D1], flc[:, 0, :], flr[:, 0, :], tc, tr
 

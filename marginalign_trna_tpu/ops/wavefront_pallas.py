@@ -32,7 +32,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fb import DeviceBatch
-from .fb_pallas import STEP_BLOCK, _pad_steps, _roll_shift, _use_interpret
+from .fb_pallas import (
+    STEP_BLOCK, _compiler_params, _pad_steps, _roll_shift,
+    _use_interpret,
+)
 
 NEG = -1e30
 
@@ -173,6 +176,7 @@ def banded_nw_pallas(params_arr: jnp.ndarray, batch: DeviceBatch):
         ],
         scratch_shapes=[pltpu.VMEM((Wp, B), jnp.float32) for _ in range(6)],
         interpret=_use_interpret(),
+        compiler_params=_compiler_params(min_mb=64),
     )(xb, yb, valid, s1, s2, fink,
       params_arr.astype(jnp.float32)[None, :])
 
@@ -323,6 +327,7 @@ def banded_nw_pallas_multi(params_arr: jnp.ndarray, mdev):
         ],
         scratch_shapes=[pltpu.VMEM((Wp, B), jnp.float32) for _ in range(6)],
         interpret=_use_interpret(),
+        compiler_params=_compiler_params(min_mb=64),
     )(xb, yb, valid, s1, s2, start, fink, find,
       params_arr.astype(jnp.float32)[None, :])
 
@@ -427,6 +432,7 @@ def banded_mea_pallas(
         ],
         scratch_shapes=[pltpu.VMEM((Wp, B), jnp.float32) for _ in range(2)],
         interpret=_use_interpret(),
+        compiler_params=_compiler_params(min_mb=64),
     )(wd, wu, wl, va, s1p, s2p, fink)
 
     d_idx = final_d.astype(jnp.int32)
@@ -594,6 +600,7 @@ def _mea_dl_jit(post, valid, s1, s2, final_k, lo, accr, accc,
         scratch_shapes=[pltpu.VMEM((Wp, B), jnp.float32)
                         for _ in range(4)],
         interpret=_use_interpret(),
+        compiler_params=_compiler_params(min_mb=64),
     )(pm, va, s1p, s2p, fink, er, ec, initup, params)
     return ptrs, terms
 
@@ -710,6 +717,7 @@ def banded_mea_pallas_multi(
         ],
         scratch_shapes=[pltpu.VMEM((Wp, B), jnp.float32) for _ in range(2)],
         interpret=_use_interpret(),
+        compiler_params=_compiler_params(min_mb=64),
     )(wd, wu, wl, va, s1p, s2p, stp, fkp, fdp)
 
     score = terms[p_final_d.astype(jnp.int32), 0, p_lane.astype(jnp.int32)]
