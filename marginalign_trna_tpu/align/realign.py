@@ -304,23 +304,26 @@ def realigned_ops_for_jobs(
 
         dev = make_fb_device_batch(batch)
         if isinstance(dev, CircDeviceBatch) and use_fused_realign():
-            from ..ops.band import (
-                circ_flush_rows, circ_lo_mod_rows, circ_row_flush_rows,
-            )
+            import jax.numpy as jnp
+
+            from ..ops.band import circ_mw_streams_device
             from ..ops.fb_pallas import (
                 STEP_BLOCK, posteriors_weights_pallas_circ,
             )
             from ..ops.mea import rowcol_sums_from_flushed
 
             d1k = -(-batch.num_steps // STEP_BLOCK) * STEP_BLOCK
-            # post comes back BAND-RELATIVE: the mw forward rotates its
-            # output rows in-kernel (the old device circ->rel gather
-            # scalarised, ~12s per 3072-lane batch).
+            # The fr/frr/lom streams are derived ON DEVICE from one
+            # [D1, B] lo upload (three ~90MB uploads otherwise; the
+            # tunnel moves ~730MB/s).  post comes back BAND-RELATIVE:
+            # the mw forward rotates its output rows in-kernel (the old
+            # device circ->rel gather scalarised, ~12s per 3072-lane
+            # batch).
+            fr_d, frr_d, lom_d = circ_mw_streams_device(
+                jnp.asarray(batch.lo), batch.width, batch.wp, d1k
+            )
             _, post_rel, flc, flr, tc, tr = posteriors_weights_pallas_circ(
-                tables, dev,
-                circ_flush_rows(batch, d1k),
-                circ_row_flush_rows(batch, d1k),
-                circ_lo_mod_rows(batch, d1k),
+                tables, dev, fr_d, frr_d, lom_d,
             )
             rowcol = rowcol_sums_from_flushed(batch, flc, flr, tc, tr)
             return batch, post_rel, rowcol

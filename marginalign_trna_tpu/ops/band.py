@@ -496,6 +496,71 @@ def circ_lo_mod_rows(batch: BandedBatch, pad_to: int) -> np.ndarray:
     return (lo % batch.wp).astype(np.int32)
 
 
+def band_masks_device(lo_dev, m_dev, n_dev, width: int, Wp: int):
+    """(valid [D1, Wp, B] bool, s1 [D1, B] i32, s2 [D1, B] i32) derived
+    ON DEVICE from the band-offset stream — the closed forms
+    pack_banded_batch evaluates on the host (band.py:212-219).  Tunnel
+    H2D runs ~730MB/s, so re-uploading the 524MB valid array per bucket
+    costs ~0.7s while deriving it device-side from the [D1, B] lo
+    stream is a sub-ms elementwise pass."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _derive(lo, m, n):
+        lo = lo.astype(jnp.int32)
+        D1, B = lo.shape
+        d = jax.lax.broadcasted_iota(jnp.int32, (D1, 1, 1), 0)
+        k = jax.lax.broadcasted_iota(jnp.int32, (1, Wp, 1), 1)
+        i = lo[:, None, :] + k
+        j = d - i
+        m3 = m.astype(jnp.int32)[None, None, :]
+        n3 = n.astype(jnp.int32)[None, None, :]
+        valid = (
+            (k < width) & (i >= 0) & (i <= m3) & (i <= d)
+            & (j >= 0) & (j <= n3)
+            # Padded lanes (m = n = 0) are fully invalid on the host
+            # (their origin cell would otherwise satisfy the bounds).
+            & (m3 + n3 > 0)
+        )
+        z1 = jnp.zeros((1, B), jnp.int32)
+        s1 = jnp.concatenate([z1, lo[1:] - lo[:-1]], axis=0)
+        s2 = jnp.concatenate([z1, z1, lo[2:] - lo[:-2]], axis=0)
+        return valid, s1, s2
+
+    return _derive(lo_dev, m_dev, n_dev)
+
+
+def circ_mw_streams_device(lo_dev, width: int, Wp: int, d1k: int):
+    """(fr, frr, lom) [d1k, B] i32 derived ON DEVICE from the [D1, B]
+    band-offset stream: the device twins of circ_flush_rows /
+    circ_row_flush_rows / circ_lo_mod_rows (same formulas), replacing
+    three ~90MB per-bucket uploads with one elementwise pass."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _derive(lo):
+        lo = lo.astype(jnp.int32)
+        D1, B = lo.shape
+        if d1k > D1:
+            lo = jnp.concatenate(
+                [lo, jnp.broadcast_to(lo[-1:], (d1k - D1, B))], axis=0
+            )
+        stepped_gu = jnp.concatenate(
+            [jnp.zeros((1, B), bool), lo[1:] == lo[:-1]], axis=0
+        )
+        stepped_lo = jnp.concatenate(
+            [jnp.zeros((1, B), bool), lo[1:] != lo[:-1]], axis=0
+        )
+        fr = jnp.where(stepped_gu, (lo + width) % Wp, -1)
+        frr = jnp.where(stepped_lo, (lo - 1) % Wp, -1)
+        lom = lo % Wp
+        return fr, frr, lom
+
+    return _derive(lo_dev)
+
+
 def circ_to_rel(values_c: np.ndarray, batch: BandedBatch) -> np.ndarray:
     """Convert a circular-layout [D1, Wp, B] per-cell array (e.g. the
     posterior band) back to the band-relative layout: rel[d, k] =

@@ -283,8 +283,8 @@ def mea_decode(
         from .wavefront_pallas import banded_mea_pallas_dl
 
         res = banded_mea_pallas_dl(
-            jnp.asarray(post), batch.valid, batch.s1, batch.s2,
-            batch.final_d, batch.final_k, batch.lo, accr, accc,
+            jnp.asarray(post), batch.lo, batch.m, batch.n, batch.width,
+            batch.final_d, batch.final_k, accr, accc,
             gap_gamma, match_gamma,
         )
     elif use_device:

@@ -606,19 +606,27 @@ def _mea_dl_jit(post, valid, s1, s2, final_k, lo, accr, accc,
 
 
 def banded_mea_pallas_dl(
-    post, valid, s1, s2, final_d, final_k, lo, accr, accc,
+    post, lo, m, n, width, final_d, final_k, accr, accc,
     gap_gamma: float, match_gamma: float,
 ):
     """Drop-in banded_mea from the RAW posterior band + per-position
     row/col sums (same MeaResult as banded_mea_pallas, which takes
-    pre-built wdiag/wup/wleft streams)."""
+    pre-built wdiag/wup/wleft streams).  valid/s1/s2 are derived ON
+    DEVICE from the [D1, B] lo stream (band.band_masks_device) — the
+    524MB valid upload per bucket costs ~0.7s through the tunnel."""
+    from .band import band_masks_device
     from .mea import MeaResult
 
     D1 = post.shape[0]
+    Wp = post.shape[1]
     B = post.shape[2]
+    lo_dev = jnp.asarray(lo)
+    valid, s1, s2 = band_masks_device(
+        lo_dev, jnp.asarray(m), jnp.asarray(n), int(width), Wp
+    )
     ptrs, terms = _mea_dl_jit(
-        jnp.asarray(post), jnp.asarray(valid), jnp.asarray(s1),
-        jnp.asarray(s2), jnp.asarray(final_k), jnp.asarray(lo),
+        jnp.asarray(post), valid, s1, s2,
+        jnp.asarray(final_k), lo_dev,
         jnp.asarray(accr), jnp.asarray(accc),
         jnp.float32(gap_gamma), jnp.float32(match_gamma),
         rgm=int(accr.shape[0]), rgn=int(accc.shape[0]),

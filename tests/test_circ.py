@@ -488,8 +488,8 @@ def test_mea_dl_kernel_matches_weights_oracle(rng):
         jnp.asarray(batch.final_d), jnp.asarray(batch.final_k),
     )
     got = banded_mea_pallas_dl(
-        post, batch.valid, batch.s1, batch.s2, batch.final_d,
-        batch.final_k, batch.lo, accr, accc, gap, mg,
+        post, batch.lo, batch.m, batch.n, batch.width, batch.final_d,
+        batch.final_k, accr, accc, gap, mg,
     )
     # Padded lanes differ benignly (0 vs NEG terminal); real lanes must
     # match.

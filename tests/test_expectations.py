@@ -159,3 +159,40 @@ def test_bucket_scatter_lanesum_matches_numpy(rng):
     got = np.asarray(bucket_scatter_lanesum(v_p, j_p, rg))
     assert got.shape == (rg, C)
     assert np.allclose(got, want, atol=1e-4), np.abs(got - want).max()
+
+
+def test_device_stream_derivation_matches_host(rng):
+    """band_masks_device / circ_mw_streams_device reproduce the host
+    valid/s1/s2 arrays and circ flush/lom streams exactly (they replace
+    per-bucket uploads of the same data)."""
+    import jax.numpy as jnp
+
+    from marginalign_trna_tpu.ops.band import (
+        band_masks_device, circ_flush_rows, circ_lo_mod_rows,
+        circ_mw_streams_device, circ_row_flush_rows, path_from_cigar,
+    )
+
+    reads = [rng.integers(0, 4, size=m).astype(np.int8)
+             for m in (40, 80, 64)]
+    refs = [rng.integers(0, 4, size=n).astype(np.int8)
+            for n in (52, 70, 64)]
+    paths = [None, path_from_cigar([(0, 40), (2, 10), (0, 30)]), None]
+    batch = pack_banded_batch(reads, refs, width=21, paths=paths,
+                              pad_batch_to=4)
+    valid, s1, s2 = band_masks_device(
+        jnp.asarray(batch.lo), jnp.asarray(batch.m),
+        jnp.asarray(batch.n), batch.width, batch.wp,
+    )
+    assert np.array_equal(np.asarray(valid), batch.valid)
+    assert np.array_equal(np.asarray(s1), batch.s1)
+    assert np.array_equal(np.asarray(s2), batch.s2)
+
+    d1k = -(-batch.num_steps // 8) * 8 + 16  # pad past D1
+    fr_d, frr_d, lom_d = circ_mw_streams_device(
+        jnp.asarray(batch.lo), batch.width, batch.wp, d1k
+    )
+    assert np.array_equal(np.asarray(fr_d), circ_flush_rows(batch, d1k))
+    assert np.array_equal(np.asarray(frr_d),
+                          circ_row_flush_rows(batch, d1k))
+    assert np.array_equal(np.asarray(lom_d),
+                          circ_lo_mod_rows(batch, d1k))
