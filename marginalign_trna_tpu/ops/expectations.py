@@ -332,6 +332,98 @@ def fused_row_jmaps(
     return jmap, jtail
 
 
+def fused_flush_jmaps_device(lo_dev, off_dev, n_dev, width: int,
+                             Wp: int, d1k: int):
+    """Device twin of fused_flush_jmaps: the combined [d1k + Wp, B]
+    int32 target stream (jmap rows then tail rows), derived on device
+    from the lo stream + per-lane scalars — replacing a ~190ms host
+    np.concatenate + ~100ms upload per bucket."""
+    import jax
+
+    @jax.jit
+    def _derive(lo, off, n):
+        lo = lo.astype(jnp.int64)
+        off = off.astype(jnp.int64)[None, :]
+        n = n.astype(jnp.int64)[None, :]
+        D1, B = lo.shape
+        if d1k > D1:
+            lo = jnp.concatenate(
+                [lo, jnp.broadcast_to(lo[-1:], (d1k - D1, B))], axis=0
+            )
+        d = jax.lax.broadcasted_iota(jnp.int64, (d1k, B), 0)
+        gu = d - lo
+        stepped = jnp.concatenate(
+            [jnp.zeros((1, B), bool), lo[1:] == lo[:-1]], axis=0
+        )
+        j = gu - width
+        okj = stepped & (j >= 1) & (j <= n)
+        jmap = jnp.where(okj, off + j - 1, -1)
+
+        gu_end = gu[-1:]                       # [1, B]
+        lo_t = jnp.maximum(1, gu_end - width + 1)
+        hi_t = jnp.minimum(n, gu_end)
+        r = jax.lax.broadcasted_iota(jnp.int64, (Wp, B), 0)
+        j_r = lo_t + jnp.remainder(d1k - 1 - r - lo_t, Wp)
+        jtail = jnp.where(
+            (j_r >= lo_t) & (j_r <= hi_t), off + j_r - 1, -1
+        )
+        return jnp.concatenate([jmap, jtail], axis=0).astype(jnp.int32)
+
+    return _derive(lo_dev, off_dev, n_dev)
+
+
+def fused_row_jmaps_device(lo_dev, m_dev, Wp: int, d1k: int):
+    """Device twin of fused_row_jmaps: combined [d1k + Wp, B] int32
+    LOCAL read-position targets for the mw row flush stream + tails."""
+    import jax
+
+    @jax.jit
+    def _derive(lo, m):
+        lo = lo.astype(jnp.int64)
+        m = m.astype(jnp.int64)[None, :]
+        D1, B = lo.shape
+        if d1k > D1:
+            lo = jnp.concatenate(
+                [lo, jnp.broadcast_to(lo[-1:], (d1k - D1, B))], axis=0
+            )
+        stepped = jnp.concatenate(
+            [jnp.zeros((1, B), bool), lo[1:] != lo[:-1]], axis=0
+        )
+        i = lo - 1
+        oki = stepped & (i >= 1) & (i <= m)
+        jmap = jnp.where(oki, i - 1, -1)
+
+        lo_end = lo[-1:]
+        s = jnp.maximum(1, lo_end)
+        r = jax.lax.broadcasted_iota(jnp.int64, (Wp, B), 0)
+        i_r = s + jnp.remainder(r - s, Wp)
+        jtail = jnp.where((i_r >= s) & (i_r <= m), i_r - 1, -1)
+        return jnp.concatenate([jmap, jtail], axis=0).astype(jnp.int32)
+
+    return _derive(lo_dev, m_dev)
+
+
+def _scatter_assemble_dev(fl, tails, jm_dev, rg):
+    """[C, rg, B] scatter assembly from a DEVICE-derived combined target
+    stream (no host range check — the device derivations are in-range
+    by construction)."""
+    from .bucket_scatter import bucket_scatter_chunked, pad_group_rows
+
+    vals = jnp.concatenate([fl, tails], axis=1)
+    vals, jmd = pad_group_rows(vals, jm_dev)
+    return bucket_scatter_chunked(vals, jmd, rg)
+
+
+def _scatter_assemble_lanesum_dev(fl, tails, jm_dev, rg):
+    """[rg, C] lane-summed scatter assembly from a device-derived
+    combined target stream."""
+    from .bucket_scatter import bucket_scatter_lanesum, pad_group_rows
+
+    vals = jnp.concatenate([fl, tails], axis=1)
+    vals, jmd = pad_group_rows(vals, jm_dev)
+    return bucket_scatter_lanesum(vals, jmd, rg)
+
+
 def _use_scatter_assembly() -> bool:
     """Bucket-scatter assembly (no gathers) vs take_along_axis.  Per-lane
     gathers scalarise on TPU (~150ms per [4096, B]; gather_probe.py), so
@@ -436,8 +528,14 @@ def band_expectations_cx(
     _, fl, tails = posteriors_expectations_pallas_circ(tables, cdev, fr)
     out = None
     if _use_scatter_assembly():
-        jmap, jtail = fused_flush_jmaps(batch, ref_offsets, n_real, d1k)
-        out = _scatter_assemble_lanesum(fl, tails, jmap, jtail, rg)
+        # Targets derived on device from the lo stream (the host jmap
+        # build + upload costs ~300ms per bucket at B=3072).  Padded
+        # lanes (n = 0) derive all -1 targets, so n_real is moot.
+        jm_dev = fused_flush_jmaps_device(
+            jnp.asarray(batch.lo), jnp.asarray(ref_offsets),
+            jnp.asarray(batch.n), batch.width, batch.wp, d1k,
+        )
+        out = _scatter_assemble_lanesum_dev(fl, tails, jm_dev, rg)
     if out is None:
         df, ti = fused_expectation_indices(
             batch, ref_offsets, rg, n_real, d1k

@@ -231,15 +231,25 @@ def rowcol_sums_from_flushed(batch, flc, flr, tc, tr, n_real=None):
     rgn = _round_up(max(int(batch.n.max()), 1), 256)
     accr = accc = None
     if _use_scatter_assembly():
-        jmc, jtc = fused_flush_jmaps(
-            batch, np.zeros(batch.batch, np.int64), n_real, d1k
+        # Targets derived on device from one lo upload (the host jmap
+        # concat + upload costs ~300ms per bucket per side at B=3072).
+        from .expectations import (
+            _scatter_assemble_dev, fused_flush_jmaps_device,
+            fused_row_jmaps_device,
         )
-        outc = _scatter_assemble(flc[None], tc[None], jmc, jtc, rgn)
-        jmr, jtr = fused_row_jmaps(batch, n_real, d1k)
-        outr = _scatter_assemble(flr[None], tr[None], jmr, jtr, rgm)
-        if outc is not None and outr is not None:
-            accc = outc[0, :rgn]
-            accr = outr[0, :rgm]
+
+        lo_dev = jnp.asarray(batch.lo)
+        jmc_dev = fused_flush_jmaps_device(
+            lo_dev, jnp.zeros(batch.batch, jnp.int32),
+            jnp.asarray(batch.n), batch.width, batch.wp, d1k,
+        )
+        outc = _scatter_assemble_dev(flc[None], tc[None], jmc_dev, rgn)
+        jmr_dev = fused_row_jmaps_device(
+            lo_dev, jnp.asarray(batch.m), batch.wp, d1k
+        )
+        outr = _scatter_assemble_dev(flr[None], tr[None], jmr_dev, rgm)
+        accc = outc[0, :rgn]
+        accr = outr[0, :rgm]
     if accc is None or accr is None:
         dfc, tic = fused_expectation_indices(
             batch, np.zeros(batch.batch, np.int64), rgn, n_real, d1k

@@ -196,3 +196,40 @@ def test_device_stream_derivation_matches_host(rng):
                           circ_row_flush_rows(batch, d1k))
     assert np.array_equal(np.asarray(lom_d),
                           circ_lo_mod_rows(batch, d1k))
+
+
+def test_device_jmaps_match_host(rng):
+    """fused_flush_jmaps_device / fused_row_jmaps_device reproduce the
+    host jmap+tail builds exactly (concatenated layout)."""
+    import jax.numpy as jnp
+
+    from marginalign_trna_tpu.ops.band import path_from_cigar
+    from marginalign_trna_tpu.ops.expectations import (
+        fused_flush_jmaps, fused_flush_jmaps_device, fused_row_jmaps,
+        fused_row_jmaps_device,
+    )
+
+    reads = [rng.integers(0, 4, size=m).astype(np.int8)
+             for m in (40, 80, 64)]
+    refs = [rng.integers(0, 4, size=n).astype(np.int8)
+            for n in (52, 70, 64)]
+    paths = [None, path_from_cigar([(0, 40), (2, 10), (0, 30)]), None]
+    batch = pack_banded_batch(reads, refs, width=21, paths=paths,
+                              pad_batch_to=4)
+    d1k = -(-batch.num_steps // 8) * 8 + 16
+    off = np.array([0, 37, 100, 0], np.int64)
+
+    jmap, jtail = fused_flush_jmaps(batch, off, batch.batch, d1k)
+    want = np.concatenate([jmap, jtail], axis=0)
+    got = np.asarray(fused_flush_jmaps_device(
+        jnp.asarray(batch.lo), jnp.asarray(off), jnp.asarray(batch.n),
+        batch.width, batch.wp, d1k,
+    ))
+    assert np.array_equal(got, want), (got != want).sum()
+
+    jmr, jtr = fused_row_jmaps(batch, batch.batch, d1k)
+    want_r = np.concatenate([jmr, jtr], axis=0)
+    got_r = np.asarray(fused_row_jmaps_device(
+        jnp.asarray(batch.lo), jnp.asarray(batch.m), batch.wp, d1k
+    ))
+    assert np.array_equal(got_r, want_r), (got_r != want_r).sum()
