@@ -132,62 +132,122 @@ def _minimizer_positions(vals: np.ndarray, w: int) -> np.ndarray:
 
 class KmerIndex:
     """Exact k-mer (optionally (w,k)-minimizer-sampled) index over the
-    (forward-strand) reference sequences."""
+    (forward-strand) reference sequences.
+
+    Sorted-array layout: one flat (kmer value, ref, pos) table sorted by
+    value; queries are a batch searchsorted join.  The round-4 dict
+    (~per-k-mer-position Python loop) cost ~0.18 s/read on 3.5 kb reads
+    — the larger half of the end-to-end wall (the reference's LAST does
+    this in compiled C, src/margin/mappers/last.py:24-26)."""
 
     def __init__(self, refs: Dict[str, str], k: int, minimizer_w: int = 0):
         self.k = k
         self.minimizer_w = minimizer_w
         self.ref_names = list(refs.keys())
         self.ref_codes = [encode(refs[n]) for n in self.ref_names]
-        self.lookup: Dict[int, List[Tuple[int, int]]] = {}
+        vals_l, ri_l, pos_l = [], [], []
         for ri, codes in enumerate(self.ref_codes):
             vals = _kmer_values(codes, k)
             if minimizer_w > 1:
                 positions = _minimizer_positions(vals, minimizer_w)
             else:
                 positions = np.arange(len(vals), dtype=np.int64)
-            for pos in positions:
-                v = vals[pos]
-                if v >= 0:
-                    self.lookup.setdefault(int(v), []).append(
-                        (ri, int(pos))
-                    )
+            v = vals[positions]
+            keep = v >= 0
+            vals_l.append(v[keep])
+            ri_l.append(np.full(int(keep.sum()), ri, dtype=np.int32))
+            pos_l.append(positions[keep])
+        v = np.concatenate(vals_l) if vals_l else np.empty(0, np.int64)
+        ri_a = np.concatenate(ri_l) if ri_l else np.empty(0, np.int32)
+        pos_a = np.concatenate(pos_l) if pos_l else np.empty(0, np.int64)
+        order = np.argsort(v, kind="stable")
+        self._vals = v[order]
+        self._ri = ri_a[order]
+        self._pos = pos_a[order].astype(np.int64)
+        self.n_refs = len(self.ref_names)
 
     def hits(self, read_codes: np.ndarray, max_per_kmer: int):
-        """-> per-ref dict {ref_idx: [(qpos, rpos), ...]}"""
-        out: Dict[int, List[Tuple[int, int]]] = {}
+        """-> per-ref dict {ref_idx: (qpos array, rpos array)}.
+
+        Semantics match the reference-era dict walk: k-mers whose total
+        occurrence count across all references exceeds max_per_kmer are
+        dropped (repeat masking, like LAST's -m / minimap2's -f)."""
+        out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         vals = _kmer_values(read_codes, self.k)
         if self.minimizer_w > 1:
             positions = _minimizer_positions(vals, self.minimizer_w)
         else:
             positions = np.arange(len(vals), dtype=np.int64)
-        for qpos in positions:
-            v = vals[qpos]
-            if v < 0:
-                continue
-            entry = self.lookup.get(int(v))
-            if entry is None or len(entry) > max_per_kmer:
-                continue
-            for ri, rpos in entry:
-                out.setdefault(ri, []).append((int(qpos), rpos))
+        q = vals[positions]
+        keep = q >= 0
+        q = q[keep]
+        qpos = positions[keep]
+        if not len(q) or not len(self._vals):
+            return out
+        left = np.searchsorted(self._vals, q, side="left")
+        right = np.searchsorted(self._vals, q, side="right")
+        cnt = right - left
+        ok = (cnt > 0) & (cnt <= max_per_kmer)
+        if not ok.any():
+            return out
+        l, c, qp = left[ok], cnt[ok], qpos[ok]
+        # Expand each query's [l, l+c) run into flat table indices.
+        ends = np.cumsum(c)
+        total = int(ends[-1])
+        offs = np.arange(total, dtype=np.int64) - np.repeat(ends - c, c)
+        eidx = np.repeat(l, c) + offs
+        out_q = np.repeat(qp, c)
+        ris = self._ri[eidx]
+        rpos = self._pos[eidx]
+        if self.n_refs == 1:
+            return {0: (out_q, rpos)}
+        order = np.argsort(ris, kind="stable")
+        ris_s = ris[order]
+        bounds = np.searchsorted(ris_s, np.arange(self.n_refs + 1))
+        for ri in np.unique(ris_s):
+            s, e = bounds[ri], bounds[ri + 1]
+            sel = order[s:e]
+            out[int(ri)] = (out_q[sel], rpos[sel])
         return out
 
 
 def chain_seeds(
-    hits: List[Tuple[int, int]], cfg: GuideConfig
+    hits, cfg: GuideConfig
 ) -> Tuple[List[Tuple[int, int]], int]:
     """Best colinear chain of seed hits (strictly increasing in read and
     ref, bounded gap and diagonal drift).  O(h^2) DP like the reference's
-    segment chaining (marginAlignLib.py:129-145), but over k-mer seeds."""
-    if not hits:
-        return [], 0
-    hits = sorted(set(hits), key=lambda h: (h[1], h[0]))
-    if len(hits) > cfg.max_seeds_for_chaining:
-        stride = len(hits) / cfg.max_seeds_for_chaining
-        hits = [hits[int(i * stride)] for i in range(cfg.max_seeds_for_chaining)]
-    h = len(hits)
-    q = np.array([x[0] for x in hits])
-    r = np.array([x[1] for x in hits])
+    segment chaining (marginAlignLib.py:129-145), but over k-mer seeds.
+
+    hits: either [(qpos, rpos), ...] or a (qpos array, rpos array) pair
+    (the KmerIndex.hits batch output)."""
+    if isinstance(hits, tuple):
+        q0, r0 = hits
+        if not len(q0):
+            return [], 0
+        # Dedup + sort by (rpos, qpos), vectorised.
+        order = np.lexsort((q0, r0))
+        q0, r0 = q0[order], r0[order]
+        uniq = np.concatenate(
+            [[True], (np.diff(q0) != 0) | (np.diff(r0) != 0)]
+        )
+        q, r = q0[uniq], r0[uniq]
+        if len(q) > cfg.max_seeds_for_chaining:
+            sel = (
+                np.arange(cfg.max_seeds_for_chaining, dtype=np.float64)
+                * (len(q) / cfg.max_seeds_for_chaining)
+            ).astype(np.int64)
+            q, r = q[sel], r[sel]
+    else:
+        if not hits:
+            return [], 0
+        hits = sorted(set(hits), key=lambda h: (h[1], h[0]))
+        if len(hits) > cfg.max_seeds_for_chaining:
+            stride = len(hits) / cfg.max_seeds_for_chaining
+            hits = [hits[int(i * stride)]
+                    for i in range(cfg.max_seeds_for_chaining)]
+        q = np.array([x[0] for x in hits])
+        r = np.array([x[1] for x in hits])
+    h = len(q)
 
     from .. import native as _native
 
@@ -195,7 +255,7 @@ def chain_seeds(
         q, r, 2 * cfg.max_chain_gap, cfg.max_diag_drift
     )
     if idx is not None:
-        chain = [hits[i] for i in idx]
+        chain = [(int(q[i]), int(r[i])) for i in idx]
         return chain, len(chain)
 
     score = np.ones(h, dtype=np.int64)

@@ -19,6 +19,7 @@ sees static shapes.
 """
 from __future__ import annotations
 
+import functools as _functools
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -496,13 +497,12 @@ def circ_lo_mod_rows(batch: BandedBatch, pad_to: int) -> np.ndarray:
     return (lo % batch.wp).astype(np.int32)
 
 
-def band_masks_device(lo_dev, m_dev, n_dev, width: int, Wp: int):
-    """(valid [D1, Wp, B] bool, s1 [D1, B] i32, s2 [D1, B] i32) derived
-    ON DEVICE from the band-offset stream — the closed forms
-    pack_banded_batch evaluates on the host (band.py:212-219).  Tunnel
-    H2D runs ~730MB/s, so re-uploading the 524MB valid array per bucket
-    costs ~0.7s while deriving it device-side from the [D1, B] lo
-    stream is a sub-ms elementwise pass."""
+@_functools.lru_cache(maxsize=None)
+def _band_masks_jitted(width: int, Wp: int):
+    """Jitted band-mask derivation, memoised on the static geometry so
+    repeated per-bucket calls reuse one compiled executable (a fresh
+    @jax.jit closure per call retraces every bucket — ~390ms/call on CPU
+    and a full remote compile through the axon tunnel)."""
     import jax
     import jax.numpy as jnp
 
@@ -528,14 +528,21 @@ def band_masks_device(lo_dev, m_dev, n_dev, width: int, Wp: int):
         s2 = jnp.concatenate([z1, z1, lo[2:] - lo[:-2]], axis=0)
         return valid, s1, s2
 
-    return _derive(lo_dev, m_dev, n_dev)
+    return _derive
 
 
-def circ_mw_streams_device(lo_dev, width: int, Wp: int, d1k: int):
-    """(fr, frr, lom) [d1k, B] i32 derived ON DEVICE from the [D1, B]
-    band-offset stream: the device twins of circ_flush_rows /
-    circ_row_flush_rows / circ_lo_mod_rows (same formulas), replacing
-    three ~90MB per-bucket uploads with one elementwise pass."""
+def band_masks_device(lo_dev, m_dev, n_dev, width: int, Wp: int):
+    """(valid [D1, Wp, B] bool, s1 [D1, B] i32, s2 [D1, B] i32) derived
+    ON DEVICE from the band-offset stream — the closed forms
+    pack_banded_batch evaluates on the host (band.py:212-219).  Tunnel
+    H2D runs ~730MB/s, so re-uploading the 524MB valid array per bucket
+    costs ~0.7s while deriving it device-side from the [D1, B] lo
+    stream is a sub-ms elementwise pass."""
+    return _band_masks_jitted(width, Wp)(lo_dev, m_dev, n_dev)
+
+
+@_functools.lru_cache(maxsize=None)
+def _circ_mw_streams_jitted(width: int, Wp: int, d1k: int):
     import jax
     import jax.numpy as jnp
 
@@ -558,7 +565,15 @@ def circ_mw_streams_device(lo_dev, width: int, Wp: int, d1k: int):
         lom = lo % Wp
         return fr, frr, lom
 
-    return _derive(lo_dev)
+    return _derive
+
+
+def circ_mw_streams_device(lo_dev, width: int, Wp: int, d1k: int):
+    """(fr, frr, lom) [d1k, B] i32 derived ON DEVICE from the [D1, B]
+    band-offset stream: the device twins of circ_flush_rows /
+    circ_row_flush_rows / circ_lo_mod_rows (same formulas), replacing
+    three ~90MB per-bucket uploads with one elementwise pass."""
+    return _circ_mw_streams_jitted(width, Wp, d1k)(lo_dev)
 
 
 def circ_to_rel(values_c: np.ndarray, batch: BandedBatch) -> np.ndarray:
@@ -577,11 +592,8 @@ def circ_to_rel(values_c: np.ndarray, batch: BandedBatch) -> np.ndarray:
     return out
 
 
-def circ_to_rel_device(values_c, lo):
-    """Device-side circ_to_rel: one take_along_axis gather (fine on TPU —
-    the per-step-gather pathology only bites inside lax.scan).  values_c
-    [D1, Wp, B] on device, lo [D1, B] int; returns the band-relative
-    device array without any host round trip."""
+@_functools.lru_cache(maxsize=None)
+def _circ_to_rel_jitted():
     import jax
     import jax.numpy as jnp
 
@@ -592,7 +604,17 @@ def circ_to_rel_device(values_c, lo):
         idx = (rows + lo_d[:, None, :].astype(jnp.int32)) % Wp
         return jnp.take_along_axis(vals, idx, axis=1)
 
-    return _convert(values_c, jnp.asarray(lo))
+    return _convert
+
+
+def circ_to_rel_device(values_c, lo):
+    """Device-side circ_to_rel: one take_along_axis gather (fine on TPU —
+    the per-step-gather pathology only bites inside lax.scan).  values_c
+    [D1, Wp, B] on device, lo [D1, B] int; returns the band-relative
+    device array without any host round trip."""
+    import jax.numpy as jnp
+
+    return _circ_to_rel_jitted()(values_c, jnp.asarray(lo))
 
 
 def circular_streams_multi(mb: "MultiBandedBatch"):

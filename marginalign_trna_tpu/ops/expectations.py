@@ -332,75 +332,113 @@ def fused_row_jmaps(
     return jmap, jtail
 
 
+@partial(jax.jit, static_argnames=("width", "Wp", "d1k"))
+def _fused_flush_jmaps_jit(lo, off, n, width: int, Wp: int, d1k: int):
+    lo = lo.astype(jnp.int32)
+    off = off.astype(jnp.int32)[None, :]
+    n = n.astype(jnp.int32)[None, :]
+    D1, B = lo.shape
+    if d1k > D1:
+        lo = jnp.concatenate(
+            [lo, jnp.broadcast_to(lo[-1:], (d1k - D1, B))], axis=0
+        )
+    d = jax.lax.broadcasted_iota(jnp.int32, (d1k, B), 0)
+    gu = d - lo
+    stepped = jnp.concatenate(
+        [jnp.zeros((1, B), bool), lo[1:] == lo[:-1]], axis=0
+    )
+    j = gu - width
+    okj = stepped & (j >= 1) & (j <= n)
+    jmap = jnp.where(okj, off + j - 1, -1)
+
+    gu_end = gu[-1:]                       # [1, B]
+    lo_t = jnp.maximum(1, gu_end - width + 1)
+    hi_t = jnp.minimum(n, gu_end)
+    r = jax.lax.broadcasted_iota(jnp.int32, (Wp, B), 0)
+    j_r = lo_t + jnp.remainder(d1k - 1 - r - lo_t, Wp)
+    jtail = jnp.where(
+        (j_r >= lo_t) & (j_r <= hi_t), off + j_r - 1, -1
+    )
+    return jmap.astype(jnp.int32), jtail.astype(jnp.int32)
+
+
 def fused_flush_jmaps_device(lo_dev, off_dev, n_dev, width: int,
                              Wp: int, d1k: int):
-    """Device twin of fused_flush_jmaps: the combined [d1k + Wp, B]
-    int32 target stream (jmap rows then tail rows), derived on device
-    from the lo stream + per-lane scalars — replacing a ~190ms host
-    np.concatenate + ~100ms upload per bucket."""
-    import jax
+    """Device twin of fused_flush_jmaps: the combined [d1kp + Wp, B]
+    int32 target stream (jmap rows group-padded, then tail rows),
+    derived on device from the lo stream + per-lane scalars — replacing
+    a ~190ms host np.concatenate + ~100ms upload per bucket.  Module-
+    level jit: a fresh closure per call would retrace every bucket."""
+    jmap, jtail = _fused_flush_jmaps_jit(
+        lo_dev, off_dev, n_dev, width, Wp, d1k
+    )
+    return _concat_group_aligned_jmaps(jmap, jtail)
 
-    @jax.jit
-    def _derive(lo, off, n):
-        lo = lo.astype(jnp.int64)
-        off = off.astype(jnp.int64)[None, :]
-        n = n.astype(jnp.int64)[None, :]
-        D1, B = lo.shape
-        if d1k > D1:
-            lo = jnp.concatenate(
-                [lo, jnp.broadcast_to(lo[-1:], (d1k - D1, B))], axis=0
-            )
-        d = jax.lax.broadcasted_iota(jnp.int64, (d1k, B), 0)
-        gu = d - lo
-        stepped = jnp.concatenate(
-            [jnp.zeros((1, B), bool), lo[1:] == lo[:-1]], axis=0
+
+@partial(jax.jit, static_argnames=("Wp", "d1k"))
+def _fused_row_jmaps_jit(lo, m, Wp: int, d1k: int):
+    lo = lo.astype(jnp.int32)
+    m = m.astype(jnp.int32)[None, :]
+    D1, B = lo.shape
+    if d1k > D1:
+        lo = jnp.concatenate(
+            [lo, jnp.broadcast_to(lo[-1:], (d1k - D1, B))], axis=0
         )
-        j = gu - width
-        okj = stepped & (j >= 1) & (j <= n)
-        jmap = jnp.where(okj, off + j - 1, -1)
+    stepped = jnp.concatenate(
+        [jnp.zeros((1, B), bool), lo[1:] != lo[:-1]], axis=0
+    )
+    i = lo - 1
+    oki = stepped & (i >= 1) & (i <= m)
+    jmap = jnp.where(oki, i - 1, -1)
 
-        gu_end = gu[-1:]                       # [1, B]
-        lo_t = jnp.maximum(1, gu_end - width + 1)
-        hi_t = jnp.minimum(n, gu_end)
-        r = jax.lax.broadcasted_iota(jnp.int64, (Wp, B), 0)
-        j_r = lo_t + jnp.remainder(d1k - 1 - r - lo_t, Wp)
-        jtail = jnp.where(
-            (j_r >= lo_t) & (j_r <= hi_t), off + j_r - 1, -1
-        )
-        return jnp.concatenate([jmap, jtail], axis=0).astype(jnp.int32)
-
-    return _derive(lo_dev, off_dev, n_dev)
+    lo_end = lo[-1:]
+    s = jnp.maximum(1, lo_end)
+    r = jax.lax.broadcasted_iota(jnp.int32, (Wp, B), 0)
+    i_r = s + jnp.remainder(r - s, Wp)
+    jtail = jnp.where((i_r >= s) & (i_r <= m), i_r - 1, -1)
+    return jmap.astype(jnp.int32), jtail.astype(jnp.int32)
 
 
 def fused_row_jmaps_device(lo_dev, m_dev, Wp: int, d1k: int):
-    """Device twin of fused_row_jmaps: combined [d1k + Wp, B] int32
-    LOCAL read-position targets for the mw row flush stream + tails."""
-    import jax
+    """Device twin of fused_row_jmaps: combined [d1kp + Wp, B] int32
+    LOCAL read-position targets for the mw row flush stream + tails
+    (jmap section group-padded; see _concat_group_aligned_jmaps)."""
+    jmap, jtail = _fused_row_jmaps_jit(lo_dev, m_dev, Wp, d1k)
+    return _concat_group_aligned_jmaps(jmap, jtail)
 
-    @jax.jit
-    def _derive(lo, m):
-        lo = lo.astype(jnp.int64)
-        m = m.astype(jnp.int64)[None, :]
-        D1, B = lo.shape
-        if d1k > D1:
-            lo = jnp.concatenate(
-                [lo, jnp.broadcast_to(lo[-1:], (d1k - D1, B))], axis=0
-            )
-        stepped = jnp.concatenate(
-            [jnp.zeros((1, B), bool), lo[1:] != lo[:-1]], axis=0
+
+def _concat_group_aligned_jmaps(jmap, jtail):
+    """Concatenate flush-target rows and tail-target rows with the jmap
+    section padded to a GROUP (128) multiple.  The bucket-scatter
+    residue stage requires targets within any aligned 128-row group to
+    occupy distinct residues mod 128; a group straddling the jmap|jtail
+    boundary could otherwise mix a long terminal flush run with the
+    width-wide tail spread and collide (silently merging two
+    positions).  Group-aligning the seam removes the hazard."""
+    from .bucket_scatter import GROUP
+
+    d1k, B = jmap.shape
+    pad = _round_up(d1k, GROUP) - d1k
+    if pad:
+        jmap = jnp.concatenate(
+            [jmap, jnp.full((pad, B), -1, jmap.dtype)], axis=0
         )
-        i = lo - 1
-        oki = stepped & (i >= 1) & (i <= m)
-        jmap = jnp.where(oki, i - 1, -1)
+    return jnp.concatenate([jmap, jtail], axis=0)
 
-        lo_end = lo[-1:]
-        s = jnp.maximum(1, lo_end)
-        r = jax.lax.broadcasted_iota(jnp.int64, (Wp, B), 0)
-        i_r = s + jnp.remainder(r - s, Wp)
-        jtail = jnp.where((i_r >= s) & (i_r <= m), i_r - 1, -1)
-        return jnp.concatenate([jmap, jtail], axis=0).astype(jnp.int32)
 
-    return _derive(lo_dev, m_dev)
+def _concat_group_aligned_vals(fl, tails):
+    """Value-side twin of _concat_group_aligned_jmaps: zero rows pad the
+    flushed stream to the GROUP multiple before the tails append.
+    fl [C, d1k, B], tails [C, Wp, B]."""
+    from .bucket_scatter import GROUP
+
+    C, d1k, B = fl.shape
+    pad = _round_up(d1k, GROUP) - d1k
+    if pad:
+        fl = jnp.concatenate(
+            [fl, jnp.zeros((C, pad, B), fl.dtype)], axis=1
+        )
+    return jnp.concatenate([fl, tails], axis=1)
 
 
 def _scatter_assemble_dev(fl, tails, jm_dev, rg):
@@ -409,9 +447,15 @@ def _scatter_assemble_dev(fl, tails, jm_dev, rg):
     by construction)."""
     from .bucket_scatter import bucket_scatter_chunked, pad_group_rows
 
-    vals = jnp.concatenate([fl, tails], axis=1)
+    vals = _concat_group_aligned_vals(fl, tails)
     vals, jmd = pad_group_rows(vals, jm_dev)
     return bucket_scatter_chunked(vals, jmd, rg)
+
+
+# bucket_scatter_lanesum holds its [rg, C] output VMEM-resident and
+# statically unrolls rg/128 merge blocks; beyond this many positions the
+# chunked per-lane kernel + lane reduction stays bounded instead.
+_LANESUM_MAX_RG = 65536
 
 
 def _scatter_assemble_lanesum_dev(fl, tails, jm_dev, rg):
@@ -419,8 +463,12 @@ def _scatter_assemble_lanesum_dev(fl, tails, jm_dev, rg):
     combined target stream."""
     from .bucket_scatter import bucket_scatter_lanesum, pad_group_rows
 
-    vals = jnp.concatenate([fl, tails], axis=1)
+    vals = _concat_group_aligned_vals(fl, tails)
     vals, jmd = pad_group_rows(vals, jm_dev)
+    if _round_up(rg, 128) > _LANESUM_MAX_RG:
+        from .bucket_scatter import bucket_scatter_chunked
+
+        return _sum_lanes_t(bucket_scatter_chunked(vals, jmd, rg))[:rg]
     return bucket_scatter_lanesum(vals, jmd, rg)
 
 
@@ -439,34 +487,26 @@ def _use_scatter_assembly() -> bool:
 
 def _scatter_assemble(fl, tails, jmap, jtail, rg):
     """[C, rg, B] via the bucket-scatter kernel, or None when the batch
-    violates its preconditions (caller falls back to gathers)."""
+    violates its preconditions (caller falls back to gathers).  The
+    jmap section is padded to a GROUP multiple before the tails append
+    so flush and tail targets never share a residue group (see
+    _concat_group_aligned_jmaps)."""
     from .bucket_scatter import (
-        bucket_scatter_chunked, group_spread_ok, pad_group_rows,
+        GROUP, bucket_scatter_chunked, group_spread_ok, pad_group_rows,
     )
 
+    d1k, B = jmap.shape
+    pad = _round_up(d1k, GROUP) - d1k
+    if pad:
+        jmap = np.concatenate(
+            [jmap, np.full((pad, B), -1, jmap.dtype)], axis=0
+        )
     jm = np.concatenate([jmap, jtail], axis=0)
     if not group_spread_ok(jm, rg):
         return None
-    vals = jnp.concatenate([fl, tails], axis=1)
+    vals = _concat_group_aligned_vals(jnp.asarray(fl), jnp.asarray(tails))
     vals, jmd = pad_group_rows(vals, jnp.asarray(jm))
     return bucket_scatter_chunked(vals, jmd, rg)
-
-
-def _scatter_assemble_lanesum(fl, tails, jmap, jtail, rg):
-    """[rg, C] lane-summed scatter assembly (bucket_scatter_lanesum), or
-    None on precondition violation.  For consumers that reduce over
-    lanes anyway (the caller's global expectation vector) this skips the
-    [C, rg, B] intermediate and its rg-chunking entirely."""
-    from .bucket_scatter import (
-        bucket_scatter_lanesum, group_spread_ok, pad_group_rows,
-    )
-
-    jm = np.concatenate([jmap, jtail], axis=0)
-    if not group_spread_ok(jm, rg):
-        return None
-    vals = jnp.concatenate([fl, tails], axis=1)
-    vals, jmd = pad_group_rows(vals, jnp.asarray(jm))
-    return bucket_scatter_lanesum(vals, jmd, rg)
 
 
 @jax.jit

@@ -219,8 +219,16 @@ def test_device_jmaps_match_host(rng):
     d1k = -(-batch.num_steps // 8) * 8 + 16
     off = np.array([0, 37, 100, 0], np.int64)
 
+    def _aligned(jm, jt):
+        # Device builders group-pad the jmap section (residue-collision
+        # guard; expectations._concat_group_aligned_jmaps).
+        d1 = jm.shape[0]
+        pad = (-(-d1 // 128) * 128) - d1
+        fill = np.full((pad, jm.shape[1]), -1, jm.dtype)
+        return np.concatenate([jm, fill, jt], axis=0)
+
     jmap, jtail = fused_flush_jmaps(batch, off, batch.batch, d1k)
-    want = np.concatenate([jmap, jtail], axis=0)
+    want = _aligned(jmap, jtail)
     got = np.asarray(fused_flush_jmaps_device(
         jnp.asarray(batch.lo), jnp.asarray(off), jnp.asarray(batch.n),
         batch.width, batch.wp, d1k,
@@ -228,7 +236,7 @@ def test_device_jmaps_match_host(rng):
     assert np.array_equal(got, want), (got != want).sum()
 
     jmr, jtr = fused_row_jmaps(batch, batch.batch, d1k)
-    want_r = np.concatenate([jmr, jtr], axis=0)
+    want_r = _aligned(jmr, jtr)
     got_r = np.asarray(fused_row_jmaps_device(
         jnp.asarray(batch.lo), jnp.asarray(batch.m), batch.wp, d1k
     ))
