@@ -129,8 +129,23 @@ def prepare_em_batches(
     """Pack jobs into device-resident E-step batches ONCE per training run
     (band geometry is iteration-invariant).  Returns
     ("single", DeviceBatch, n_real) or ("multi", MultiDeviceBatch, P)."""
+    import jax
+
     from ..ops.band import pack_multi_banded_batch
     from ..ops.fb_pallas import multi_device_batch
+    from ..parallel.runtime import local_dispatch_devices
+
+    devices = local_dispatch_devices()
+
+    def _place(dev_tree, i):
+        # Round-robin E-step chunks across local devices: committed
+        # inputs pin each chunk's counts call to its chip, and
+        # _counts_pipelined already keeps every chunk in flight (the
+        # reference fanned EM expectation jobs across jobTree workers,
+        # SURVEY.md §3.2).
+        if len(devices) <= 1:
+            return dev_tree
+        return jax.device_put(dev_tree, devices[i % len(devices)])
 
     out: List[Tuple[str, object, int]] = []
     if _use_multi_em(jobs, band_width):
@@ -148,7 +163,7 @@ def prepare_em_batches(
             steps += need
         if chunk:
             chunks.append(chunk)
-        for chunk in chunks:
+        for ci, chunk in enumerate(chunks):
             mb = pack_multi_banded_batch(
                 [j.read_region for j in chunk],
                 [j.ref_region for j in chunk],
@@ -156,9 +171,13 @@ def prepare_em_batches(
                 paths=[j.path for j in chunk],
                 pad_steps_to=d1,
             )
-            out.append(("multi", multi_device_batch(mb), len(chunk)))
+            out.append(
+                ("multi", _place(multi_device_batch(mb), ci), len(chunk))
+            )
         return out
-    for bucket in _bucket_jobs(jobs, band_width, max_batch_cells):
+    for bi, bucket in enumerate(
+        _bucket_jobs(jobs, band_width, max_batch_cells)
+    ):
         batch = pack_banded_batch(
             [jobs[i].read_region for i in bucket],
             [jobs[i].ref_region for i in bucket],
@@ -166,7 +185,9 @@ def prepare_em_batches(
             paths=[jobs[i].path for i in bucket],
             quantize=True,
         )
-        out.append(("single", device_batch(batch), len(bucket)))
+        out.append(
+            ("single", _place(device_batch(batch), bi), len(bucket))
+        )
     return out
 
 

@@ -285,13 +285,59 @@ def realigned_ops_for_jobs(
 
     from ..parallel.runtime import with_retries
 
-    def _dispatch(bucket):
+    import jax
+
+    from ..parallel.runtime import local_dispatch_devices
+
+    devices = local_dispatch_devices()
+
+    def _dispatch(bucket, device=None):
         """FB the bucket asynchronously; the posterior band stays on
         device (circ posteriors are re-laid out by a device gather, not a
         host round trip), so several buckets can be in flight before the
         MEA decode's pointer pull forces a sync.  On the fused path
         (dispatch.use_fused_realign) the forward kernel also accumulates
-        the MEA gap-weight row/col sums, skipping the weights pass."""
+        the MEA gap-weight row/col sums, skipping the weights pass.  On
+        the compact path the host never builds band-shaped arrays at all:
+        sequences + offsets upload and the streams expand on device
+        (fb_pallas._expand_streams).
+
+        device: round-robin placement target; committed inputs pin the
+        whole bucket's computation to that chip, so the pipelined
+        in-flight window spreads buckets across all local devices (the
+        reference fanned realign jobs across jobTree workers,
+        src/margin/marginAlignLib.py:283-297)."""
+        from ..ops.dispatch import (
+            make_fb_device_batch, use_compact_streams, use_fused_realign,
+        )
+        from ..ops.fb import CircDeviceBatch
+
+        def _place(dev_tree):
+            return (jax.device_put(dev_tree, device)
+                    if device is not None else dev_tree)
+
+        if use_fused_realign() and use_compact_streams():
+            from ..ops.band import pack_compact_batch
+            from ..ops.fb_pallas import (
+                compact_device_batch, posteriors_weights_pallas_compact,
+            )
+            from ..ops.mea import rowcol_sums_from_flushed
+
+            batch = pack_compact_batch(
+                [jobs[i].read_region for i in bucket],
+                [jobs[i].ref_region for i in bucket],
+                width=band_width,
+                paths=[jobs[i].path for i in bucket],
+                quantize=True,
+            )
+            _, post_rel, flc, flr, tc, tr = (
+                posteriors_weights_pallas_compact(
+                    tables, _place(compact_device_batch(batch)), band_width,
+                )
+            )
+            rowcol = rowcol_sums_from_flushed(batch, flc, flr, tc, tr)
+            return batch, post_rel, rowcol
+
         batch = pack_banded_batch(
             [jobs[i].read_region for i in bucket],
             [jobs[i].ref_region for i in bucket],
@@ -299,10 +345,7 @@ def realigned_ops_for_jobs(
             paths=[jobs[i].path for i in bucket],
             quantize=True,
         )
-        from ..ops.dispatch import make_fb_device_batch, use_fused_realign
-        from ..ops.fb import CircDeviceBatch
-
-        dev = make_fb_device_batch(batch)
+        dev = _place(make_fb_device_batch(batch))
         if isinstance(dev, CircDeviceBatch) and use_fused_realign():
             import jax.numpy as jnp
 
@@ -335,8 +378,10 @@ def realigned_ops_for_jobs(
         return batch, post_dev, None
 
     # Window of in-flight buckets: bounded because each pins its posterior
-    # band (~max_batch_cells * 4B) on device until decoded.
-    pipeline_depth = 2
+    # band (~max_batch_cells * 4B) on device until decoded; with several
+    # local devices the window widens so every chip keeps a bucket in
+    # flight.
+    pipeline_depth = 2 * max(1, len(devices))
     pending = []
 
     def _drain_one():
@@ -358,8 +403,10 @@ def realigned_ops_for_jobs(
         for local_b, job_idx in enumerate(bucket):
             results[job_idx] = ops_list[local_b]
 
-    for bucket in _bucket_jobs(jobs, band_width, max_batch_cells):
-        run = lambda b=bucket: _dispatch(b)  # noqa: E731
+    for bi, bucket in enumerate(_bucket_jobs(jobs, band_width,
+                                             max_batch_cells)):
+        dev_t = devices[bi % len(devices)] if len(devices) > 1 else None
+        run = lambda b=bucket, d=dev_t: _dispatch(b, d)  # noqa: E731
         pending.append((bucket, run, with_retries(run)))
         if len(pending) > pipeline_depth:
             _drain_one()
@@ -430,12 +477,38 @@ def realign_sam_file(
         sam = SamFile.read(work_sam)
         ref_sequences = get_fasta_dictionary(reference_fasta_path)
         jobs = _jobs_from_sam(sam, ref_sequences, encode)
-        all_ops = realigned_ops_for_jobs(jobs, hmm, gap_gamma, match_gamma,
-                                         band_width, split_size=split_size)
-        realigned = [
-            splice_realigned_cigar(job.record, ops)
-            for job, ops in zip(jobs, all_ops)
+
+        # Multi-host: strided job sharding + an all-gather of the
+        # realigned records, so every host writes the identical merged
+        # SAM.  The reference fanned realign chunks across jobTree
+        # workers and re-zipped the per-chunk cigars
+        # (src/margin/marginAlignLib.py:283-297, 320-367); here the
+        # job list shards by stride and records gather by index.
+        import jax
+
+        from ..parallel.runtime import allgather_host_objects
+
+        nproc = jax.process_count()
+        if nproc > 1:
+            my_idx = list(range(jax.process_index(), len(jobs), nproc))
+            my_jobs = [jobs[i] for i in my_idx]
+        else:
+            my_idx = list(range(len(jobs)))
+            my_jobs = jobs
+        all_ops = realigned_ops_for_jobs(my_jobs, hmm, gap_gamma,
+                                         match_gamma, band_width,
+                                         split_size=split_size)
+        local = [
+            (idx, splice_realigned_cigar(job.record, ops))
+            for idx, job, ops in zip(my_idx, my_jobs, all_ops)
         ]
+        if nproc > 1:
+            merged = [p for shard in allgather_host_objects(local)
+                      for p in shard]
+            merged.sort(key=lambda t: t[0])
+            realigned = [rec for _, rec in merged]
+        else:
+            realigned = [rec for _, rec in local]
         SamFile(sam.header, realigned).write(output_sam_path)
     finally:
         if tmp is not None:

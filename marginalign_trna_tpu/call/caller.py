@@ -22,7 +22,7 @@ from ..io.fasta import get_fasta_dictionary
 from ..io.sam import SamFile
 from ..io.vcf import vcf_read, vcf_write
 from ..models.hmm import PairHmm
-from ..ops.band import pack_banded_batch
+from ..ops.band import pack_banded_batch, pack_compact_batch
 from ..ops.dispatch import fb_posteriors
 from ..ops.fb import device_batch, forward_backward, make_tables
 from ..utils.seq import BASES, encode
@@ -163,9 +163,19 @@ def accumulate_expectations(
 
         return with_retries(_materialise)
 
-    for bucket in _bucket_jobs(jobs, options.band_width,
-                               options.max_batch_cells):
-        batch = pack_banded_batch(
+    import jax
+
+    from ..ops.dispatch import use_compact_streams, use_fused_caller
+    from ..parallel.runtime import local_dispatch_devices
+
+    compact = use_fused_caller() and use_compact_streams()
+    devices = local_dispatch_devices()
+    if len(devices) > 1:
+        pipeline_depth = max(pipeline_depth, 2 * len(devices))
+    for bi, bucket in enumerate(_bucket_jobs(jobs, options.band_width,
+                                             options.max_batch_cells)):
+        pack = pack_compact_batch if compact else pack_banded_batch
+        batch = pack(
             [jobs[i].read_region for i in bucket],
             [jobs[i].ref_region for i in bucket],
             width=options.band_width,
@@ -178,15 +188,32 @@ def accumulate_expectations(
             offsets[local_b] = (global_off[rec.rname] + rec.reference_start
                                 + job_ref_off[job_idx])
 
-        def _run(b=batch, off=offsets, nb=len(bucket)):
+        dev_t = devices[bi % len(devices)] if len(devices) > 1 else None
+
+        def _run(b=batch, off=offsets, nb=len(bucket), device=dev_t):
             # The posterior band stays on device; only the [total, 4]
             # expectation tensor crosses to the host.  On the fused path
             # (dispatch.use_fused_caller) the band never exists at all —
-            # the forward kernel accumulates the expectations in VMEM.
-            from ..ops.dispatch import make_fb_device_batch, use_fused_caller
+            # the forward kernel accumulates the expectations in VMEM; on
+            # the compact path the host additionally never builds the
+            # band-shaped streams (they expand on device).  Committed
+            # inputs round-robin buckets across local devices.
+            from ..ops.dispatch import make_fb_device_batch
             from ..ops.fb import CircDeviceBatch
 
-            dev = make_fb_device_batch(b)
+            def _place(dev_tree):
+                return (jax.device_put(dev_tree, device)
+                        if device is not None else dev_tree)
+
+            if compact:
+                from ..ops.expectations import band_expectations_cx
+                from ..ops.fb_pallas import compact_device_batch
+
+                return band_expectations_cx(
+                    tables, b, _place(compact_device_batch(b)), off, total,
+                    n_real=nb, as_device=True,
+                )
+            dev = _place(make_fb_device_batch(b))
             if isinstance(dev, CircDeviceBatch) and use_fused_caller():
                 from ..ops.expectations import band_expectations_cx
 

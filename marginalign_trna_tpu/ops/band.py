@@ -651,6 +651,144 @@ def unpack_problem(
     return out
 
 
+# --------------------- compact packing (device-side stream expansion) -----
+#
+# The full BandedBatch materialises xb/yb/valid [D1, Wp, B] on the host
+# (~1.5GB at production bucket sizes) and uploads them through a ~730MB/s
+# tunnel every bucket.  All three are derivable from ~50MB: the per-lane
+# band-offset stream plus the packed read/ref code arrays.  The compact
+# batch carries exactly that; fb_pallas._expand_streams re-creates the
+# circular-layout signed-emission stream ON DEVICE with a delay-line
+# window kernel (one roll + one single-row inject per diagonal — read
+# rows are position-stable in the circular layout; ref windows slide one
+# row per diagonal).  This is the round-5 realisation of cPecanRealign's
+# banding machinery (src/margin/marginAlignLib.py:299-318) without the
+# host ever holding a band-shaped array.
+
+
+@dataclass
+class CompactBandedBatch:
+    """Band geometry + packed sequences; no [D1, Wp, B] arrays.
+
+    Duck-type compatible with BandedBatch for every consumer that reads
+    only lo/m/n/final_d/final_k/width (the fused serving, assembly, MEA
+    and traceback paths)."""
+
+    lo: np.ndarray        # [D1, B] int32, edge-replicated past each lane
+    m: np.ndarray         # [B] int32
+    n: np.ndarray         # [B] int32
+    final_d: np.ndarray   # [B] int32
+    final_k: np.ndarray   # [B] int32
+    width: int
+    reads_p: np.ndarray   # [Mp, B] int8 packed read codes
+    refs_p: np.ndarray    # [Np, B] int8 packed ref codes
+    x_init: np.ndarray    # [Wp, B] int8 d=0 circular ref-code window
+    y_init: np.ndarray    # [Wp, B] int8 d=0 circular read-code window
+
+    @property
+    def num_steps(self) -> int:
+        return self.lo.shape[0]
+
+    @property
+    def batch(self) -> int:
+        return self.lo.shape[1]
+
+    @property
+    def wp(self) -> int:
+        return padded_band_width(self.width)
+
+    def dp_cells(self) -> int:
+        """In-band cell count, computed analytically from the offsets
+        (matches BandedBatch.dp_cells = valid.sum())."""
+        lo = self.lo.astype(np.int64)
+        D1, B = lo.shape
+        d = np.arange(D1, dtype=np.int64)[:, None]
+        m = self.m.astype(np.int64)[None, :]
+        n = self.n.astype(np.int64)[None, :]
+        low = np.maximum(lo, d - n)
+        high = np.minimum(np.minimum(lo + self.width - 1, m), d)
+        cnt = np.clip(high - low + 1, 0, None)
+        cnt = np.where((m + n) > 0, cnt, 0)
+        return int(cnt.sum())
+
+
+def pack_compact_batch(
+    reads: Sequence[np.ndarray],
+    refs: Sequence[np.ndarray],
+    width: int,
+    paths: Optional[Sequence[Optional[Tuple[np.ndarray, np.ndarray]]]] = None,
+    pad_batch_to: Optional[int] = None,
+    pad_steps_to: Optional[int] = None,
+    quantize: bool = False,
+) -> CompactBandedBatch:
+    """pack_banded_batch's geometry without the band-shaped arrays.
+
+    Same quantization ladder; packed sequence buffers round up to 512
+    rows so repeated buckets reuse compiled executables."""
+    B0 = len(reads)
+    assert len(refs) == B0
+    ms = np.array([len(r) for r in reads], dtype=np.int64)
+    ns = np.array([len(r) for r in refs], dtype=np.int64)
+    D1 = int((ms + ns).max()) + 1 if B0 else 1
+    if pad_steps_to is not None:
+        assert pad_steps_to >= D1
+        D1 = pad_steps_to
+    elif quantize:
+        if D1 <= 1024:
+            D1 = max(128, 1 << (D1 - 1).bit_length())
+        else:
+            D1 = -(-D1 // 1024) * 1024
+    B = pad_batch_to if pad_batch_to is not None else B0
+    if pad_batch_to is None and quantize:
+        B = 1 << max(3, (B0 - 1).bit_length())
+    assert B >= B0
+    Wp = padded_band_width(width)
+    Mp = -(-(int(ms.max(initial=0)) + Wp + 1) // 512) * 512
+    Np = -(-(int(ns.max(initial=0)) + Wp + 1) // 512) * 512
+
+    lo_all = np.zeros((D1, B), dtype=np.int32)
+    final_d = np.zeros(B, dtype=np.int32)
+    final_k = np.zeros(B, dtype=np.int32)
+    m_arr = np.zeros(B, dtype=np.int32)
+    n_arr = np.zeros(B, dtype=np.int32)
+    reads_p = np.zeros((Mp, B), dtype=np.int8)
+    refs_p = np.zeros((Np, B), dtype=np.int8)
+    y_init = np.zeros((Wp, B), dtype=np.int8)
+    x_init = np.zeros((Wp, B), dtype=np.int8)
+    rows = np.arange(Wp, dtype=np.int64)
+
+    for b in range(B0):
+        m, n = int(ms[b]), int(ns[b])
+        D = m + n
+        if paths is not None and paths[b] is not None:
+            pd, pi = paths[b]
+            lo = band_offsets(m, n, width, pd, pi)
+        else:
+            lo = band_offsets(m, n, width)
+        lo_all[: D + 1, b] = lo
+        lo_all[D + 1 :, b] = lo[-1]
+        final_d[b] = D
+        final_k[b] = m - lo[-1]
+        m_arr[b] = m
+        n_arr[b] = n
+        reads_p[:m, b] = reads[b]
+        refs_p[:n, b] = refs[b]
+        # d=0 circular windows: row r holds i = r (lo(0) = 0), so the
+        # read window is reads[clip(r-1, 0, m-1)] and the ref window is
+        # refs[clip(j-1, .)] = refs[0] everywhere (j = -r <= 0) — the
+        # same clip conventions pack_banded_batch uses (band.py:222-225).
+        if m > 0:
+            y_init[:, b] = reads[b][np.clip(rows - 1, 0, m - 1)]
+        if n > 0:
+            x_init[:, b] = refs[b][0]
+
+    return CompactBandedBatch(
+        lo=lo_all, m=m_arr, n=n_arr, final_d=final_d, final_k=final_k,
+        width=width, reads_p=reads_p, refs_p=refs_p,
+        x_init=x_init, y_init=y_init,
+    )
+
+
 def unpack_band(
     values: np.ndarray, batch: BandedBatch, b: int, fill: float = 0.0
 ) -> np.ndarray:

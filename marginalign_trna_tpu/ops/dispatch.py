@@ -65,6 +65,22 @@ def use_fused_realign() -> bool:
     return use_pallas() and use_circ()
 
 
+def use_compact_streams() -> bool:
+    """Compact serving (fb_pallas CompactCircBatch): the host packs only
+    sequences + band offsets (~50MB/bucket) and the circ-layout es/yb/
+    mask/flush streams derive ON DEVICE via the delay-line expansion
+    kernel — replacing ~1.5GB of per-bucket uploads through the
+    ~730MB/s tunnel plus ~3GB of host-side band-array construction.
+    Default on wherever the fused circ serving runs;
+    MARGINALIGN_COMPACT=off restores host stream construction."""
+    env = os.environ.get("MARGINALIGN_COMPACT", "").lower()
+    if env in ("on", "1"):
+        return True
+    if env in ("off", "0"):
+        return False
+    return use_pallas() and use_circ()
+
+
 def make_fb_device_batch(batch):
     """Layout-appropriate device streams for fb_posteriors (a
     CircDeviceBatch on the circular path, else a DeviceBatch)."""

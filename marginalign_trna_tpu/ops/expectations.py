@@ -557,15 +557,29 @@ def band_expectations_cx(
     """[total_ref_len, 4] expected base counts via the FUSED serving
     kernel: forward-backward + expectation accumulation in one pass, the
     posterior band never stored (fb_pallas.posteriors_expectations_
-    pallas_circ).  Device-call-compatible with band_expectations_circ."""
+    pallas_circ).  Device-call-compatible with band_expectations_circ.
+
+    cdev may be a fb.CircDeviceBatch (host-built circ streams) or a
+    fb_pallas.CompactCircBatch (batch is then a CompactBandedBatch and
+    every stream expands on device)."""
     from .band import circ_flush_rows
-    from .fb_pallas import STEP_BLOCK, posteriors_expectations_pallas_circ
+    from .fb_pallas import (
+        STEP_BLOCK, CompactCircBatch, posteriors_expectations_pallas_circ,
+        posteriors_expectations_pallas_compact,
+    )
 
     n_real = batch.batch if n_real is None else n_real
     rg = _round_up(max(total_ref_len, 1), 512)
     d1k = _round_up(batch.num_steps, STEP_BLOCK)
-    fr = circ_flush_rows(batch, d1k)
-    _, fl, tails = posteriors_expectations_pallas_circ(tables, cdev, fr)
+    if isinstance(cdev, CompactCircBatch):
+        _, fl, tails = posteriors_expectations_pallas_compact(
+            tables, cdev, batch.width
+        )
+    else:
+        fr = circ_flush_rows(batch, d1k)
+        _, fl, tails = posteriors_expectations_pallas_circ(
+            tables, cdev, fr
+        )
     out = None
     if _use_scatter_assembly():
         # Targets derived on device from the lo stream (the host jmap

@@ -2938,29 +2938,10 @@ def _make_fwd_kernel_circ_cx(st, gc):
     return kernel
 
 
-def _posteriors_circ_cx(st, gc, cdev, fr):
-    """Caller-fused serving: sv backward (XLA-precomputed signed
-    emission stream) + cx forward (no posterior band output — fused
-    expectation accumulation).  Returns
-    (logZ [B], fl [4, D1K, B] flushed completed-position totals,
-    tails [4, Wp, B] end-of-stream accumulators).
-
-    Round-4 measurement moved this off the emw backward: computing
-    emissions inside the backward's sequential body costs far more than
-    the precompute pass it saves (11.1e9 vs 15.7e9 cells/s standalone,
-    benchmarks/pipelined_sweep.py emw vs sv)."""
-    D1, Wp, B = cdev.xb.shape
+def _sv_specs(D1K, Wp, B):
+    """Shared BlockSpec / scratch set for the sv-family serving passes."""
     K = STEP_BLOCK
-    D1K = -(-D1 // K) * K
     G = D1K // K
-
-    valid = _pad_steps(cdev.valid.astype(jnp.int8), D1K)
-    xb = _pad_steps(cdev.xb, D1K)
-    yb = _pad_steps(cdev.yb, D1K)
-    fink = cdev.fink.astype(jnp.int32)[None, :]
-    find = cdev.final_d.astype(jnp.int32)[None, :]
-    fr3 = fr[:, None, :]  # [D1K, 1, B]
-
     blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
@@ -2972,16 +2953,23 @@ def _posteriors_circ_cx(st, gc, cdev, fr):
                         memory_space=pltpu.VMEM)
     tail_spec = pl.BlockSpec((Wp, B), lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
-
     scratch = (
         [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
         + [pltpu.VMEM((1, B), jnp.float32), pltpu.VMEM((1, B), jnp.float32)]
     )
+    return G, blk3, blk2, full, rev3, rev2, tail_spec, scratch
+
+
+def _sv_backward_call(st, gc, es, fink, find):
+    """Signed-emission backward pass: (bm, bls2, logZ) from an es stream
+    (however produced — XLA precompute or the device expansion kernel)."""
+    D1K, Wp, B = es.shape
+    G, blk3, blk2, full, rev3, rev2, tail_spec, scratch = _sv_specs(
+        D1K, Wp, B
+    )
     bwd_scratch = scratch + [
         pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32),
     ]
-    vf = valid.astype(jnp.float32)
-    es = _precompute_ematch(st, xb, yb) * vf - (1.0 - vf)
     bm, bls2, zrow = pl.pallas_call(
         _make_bwd_kernel_circ_sv(st, gc),
         grid=(G,),
@@ -2998,10 +2986,22 @@ def _posteriors_circ_cx(st, gc, cdev, fr):
         interpret=_use_interpret(),
         compiler_params=_compiler_params(min_mb=64),
     )(es, fink, find)
-
     logZ = (
         jnp.log(jnp.maximum(zrow[0, 0, :], 1e-30)) + bls2[0, 0, :]
     )
+    return bm, bls2, logZ
+
+
+def _cx_from_es(st, gc, es, yb, fink, find, fr):
+    """Caller-fused serving from prepared es/yb streams: sv backward +
+    cx forward (no posterior band).  Returns (logZ, fl [4, D1K, B],
+    tails [4, Wp, B])."""
+    D1K, Wp, B = es.shape
+    G, blk3, blk2, full, rev3, rev2, tail_spec, scratch = _sv_specs(
+        D1K, Wp, B
+    )
+    fr3 = fr[:, None, :]  # [D1K, 1, B]
+    bm, bls2, logZ = _sv_backward_call(st, gc, es, fink, find)
 
     cx_scratch = scratch + [
         pltpu.VMEM((Wp, B), jnp.float32) for _ in range(4)
@@ -3025,6 +3025,31 @@ def _posteriors_circ_cx(st, gc, cdev, fr):
     fl = jnp.stack([outs[c][:, 0, :] for c in range(4)])   # [4, D1K, B]
     tails = jnp.stack(list(outs[4:8]))                     # [4, Wp, B]
     return logZ, fl, tails
+
+
+def _posteriors_circ_cx(st, gc, cdev, fr):
+    """Caller-fused serving: sv backward (XLA-precomputed signed
+    emission stream) + cx forward (no posterior band output — fused
+    expectation accumulation).  Returns
+    (logZ [B], fl [4, D1K, B] flushed completed-position totals,
+    tails [4, Wp, B] end-of-stream accumulators).
+
+    Round-4 measurement moved this off the emw backward: computing
+    emissions inside the backward's sequential body costs far more than
+    the precompute pass it saves (11.1e9 vs 15.7e9 cells/s standalone,
+    benchmarks/pipelined_sweep.py emw vs sv)."""
+    D1, Wp, B = cdev.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+
+    valid = _pad_steps(cdev.valid.astype(jnp.int8), D1K)
+    xb = _pad_steps(cdev.xb, D1K)
+    yb = _pad_steps(cdev.yb, D1K)
+    fink = cdev.fink.astype(jnp.int32)[None, :]
+    find = cdev.final_d.astype(jnp.int32)[None, :]
+    vf = valid.astype(jnp.float32)
+    es = _precompute_ematch(st, xb, yb) * vf - (1.0 - vf)
+    return _cx_from_es(st, gc, es, yb, fink, find, fr)
 
 
 @functools.partial(jax.jit, static_argnames=("st",))
@@ -3215,58 +3240,32 @@ def _posteriors_circ_mw(st, gc, cdev, fr, frr, lom):
     D1, Wp, B = cdev.xb.shape
     K = STEP_BLOCK
     D1K = -(-D1 // K) * K
-    G = D1K // K
 
     valid = _pad_steps(cdev.valid.astype(jnp.int8), D1K)
     xb = _pad_steps(cdev.xb, D1K)
     yb = _pad_steps(cdev.yb, D1K)
     fink = cdev.fink.astype(jnp.int32)[None, :]
     find = cdev.final_d.astype(jnp.int32)[None, :]
+    vf = valid.astype(jnp.float32)
+    es = _precompute_ematch(st, xb, yb) * vf - (1.0 - vf)
+    logZ, post, flc, flr, tc, tr = _mw_from_es(
+        st, gc, es, fink, find, fr, frr, lom
+    )
+    return logZ, post[:D1], flc, flr, tc, tr
+
+
+def _mw_from_es(st, gc, es, fink, find, fr, frr, lom):
+    """Realign-fused serving from a prepared es stream: sv backward + mw
+    forward.  Returns (logZ, post [D1K, Wp, B] band-relative,
+    flc/flr [D1K, B], tc/tr [Wp, B])."""
+    D1K, Wp, B = es.shape
+    G, blk3, blk2, full, rev3, rev2, tail_spec, scratch = _sv_specs(
+        D1K, Wp, B
+    )
     fr3 = fr[:, None, :]
     frr3 = frr[:, None, :]
     lom3 = lom[:, None, :]
-
-    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    rev3 = pl.BlockSpec((K, Wp, B), lambda i: (G - 1 - i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    rev2 = pl.BlockSpec((K, 1, B), lambda i: (G - 1 - i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    tail_spec = pl.BlockSpec((Wp, B), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-
-    scratch = (
-        [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
-        + [pltpu.VMEM((1, B), jnp.float32), pltpu.VMEM((1, B), jnp.float32)]
-    )
-    bwd_scratch = scratch + [
-        pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32),
-    ]
-    vf = valid.astype(jnp.float32)
-    es = _precompute_ematch(st, xb, yb) * vf - (1.0 - vf)
-    bm, bls2, zrow = pl.pallas_call(
-        _make_bwd_kernel_circ_sv(st, gc),
-        grid=(G,),
-        in_specs=[rev3, full, full],
-        out_specs=[rev3, rev2,
-                   pl.BlockSpec((1, 1, B), lambda i: (0, 0, 0),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[
-            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
-            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1, B), jnp.float32),
-        ],
-        scratch_shapes=bwd_scratch,
-        interpret=_use_interpret(),
-        compiler_params=_compiler_params(min_mb=64),
-    )(es, fink, find)
-
-    logZ = (
-        jnp.log(jnp.maximum(zrow[0, 0, :], 1e-30)) + bls2[0, 0, :]
-    )
+    bm, bls2, logZ = _sv_backward_call(st, gc, es, fink, find)
 
     mw_scratch = scratch + [
         pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32),
@@ -3287,7 +3286,7 @@ def _posteriors_circ_mw(st, gc, cdev, fr, frr, lom):
         interpret=_use_interpret(),
         compiler_params=_compiler_params(min_mb=64),
     )(es, fr3, frr3, lom3, bm, bls2, logZ[None, :])
-    return logZ, post[:D1], flc[:, 0, :], flr[:, 0, :], tc, tr
+    return logZ, post, flc[:, 0, :], flr[:, 0, :], tc, tr
 
 
 @functools.partial(jax.jit, static_argnames=("st",))
@@ -3322,6 +3321,246 @@ def posteriors_expectations_pallas_circ(tables: FbTables, cdev, fr):
     check_uniform_pi(tables)
     return _posteriors_circ_cx_static(
         static_tables(tables), cdev, jnp.asarray(fr)
+    )
+
+
+# --------- compact serving: streams expanded ON DEVICE (round 5) ----------
+#
+# The circ serving path used to upload xb/yb/valid [D1, Wp, B] every
+# bucket (~1.5GB at B=3072 through a ~730MB/s tunnel) after building
+# them on the host (another ~3GB of host memory traffic per bucket,
+# band.circular_streams).  All three are determined by ~50MB: packed
+# read/ref codes + the band-offset stream.  The expansion kernel
+# re-creates the circular-layout windows in VMEM with a delay line:
+#
+#   - read-code window (yw): rows are position-stable in the circular
+#     layout (row r holds i ≡ r mod Wp); when lo steps, exactly one row
+#     recycles (i jumps by Wp) and receives reads[lo + Wp - 2];
+#   - ref-code window (xw): j = d - i increments for every row each
+#     diagonal, which in the circular layout is one unconditional
+#     roll_down plus a single-row inject: refs[gu - 1] at row lo mod Wp
+#     when gu steps, refs[gu - Wp] at row (lo-1) mod Wp when lo steps;
+#   - validity is a closed form in (lo, m, n, d).
+#
+# The per-step inject values are monotone 0/1-index streams over the
+# packed sequence arrays, produced by bucket_scatter.monotone_gather
+# (per-lane take_along_axis scalarises on TPU).  The kernel emits the
+# signed-emission stream es (and optionally the circ yb stream for the
+# fused caller) directly — the sv/mw/cx serving kernels are unchanged.
+# Equality with the host constructors is enforced by
+# tests/test_expand.py.
+
+
+class CompactCircBatch(NamedTuple):
+    """Device twin of band.CompactBandedBatch."""
+
+    reads: jnp.ndarray    # [Mp, B] int8 packed read codes
+    refs: jnp.ndarray     # [Np, B] int8 packed ref codes
+    lo: jnp.ndarray       # [D1, B] int32 (edge-replicated)
+    m: jnp.ndarray        # [B] int32
+    n: jnp.ndarray        # [B] int32
+    final_d: jnp.ndarray  # [B] int32
+    fink: jnp.ndarray     # [B] int32 terminal circular row (m mod Wp)
+    x_init: jnp.ndarray   # [Wp, B] int8 d=0 ref-code window
+    y_init: jnp.ndarray   # [Wp, B] int8 d=0 read-code window
+
+
+def compact_device_batch(cb) -> CompactCircBatch:
+    """Upload a band.CompactBandedBatch (~50MB vs ~1.5GB for the
+    expanded circ streams)."""
+    return CompactCircBatch(
+        reads=jnp.asarray(cb.reads_p),
+        refs=jnp.asarray(cb.refs_p),
+        lo=jnp.asarray(cb.lo),
+        m=jnp.asarray(cb.m),
+        n=jnp.asarray(cb.n),
+        final_d=jnp.asarray(cb.final_d),
+        fink=jnp.asarray((cb.m.astype(np.int64) % cb.wp).astype(np.int32)),
+        x_init=jnp.asarray(cb.x_init),
+        y_init=jnp.asarray(cb.y_init),
+    )
+
+
+def _make_expand_kernel(st, width: int, Wp: int, want_yb: bool):
+    """Delay-line expansion kernel: es (and optionally circ yb) from
+    per-step inject streams + the d=0 windows."""
+    Em = _TableView.from_tuple(st[1])
+    K = STEP_BLOCK
+
+    def kernel(*refs):
+        (lo_ref, lom_ref, s1_ref, inj_ref, xv_ref, yv_ref,
+         m_ref, n_ref, xinit_ref, yinit_ref) = refs[:10]
+        if want_yb:
+            es_ref, yb_ref, xw_ref, yw_ref = refs[10:]
+        else:
+            es_ref, xw_ref, yw_ref = refs[10:]
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            xw_ref[:, :] = xinit_ref[:, :]
+            yw_ref[:, :] = yinit_ref[:, :]
+
+        xw = xw_ref[:, :]
+        yw = yw_ref[:, :]
+        kidx = jax.lax.broadcasted_iota(jnp.int32, xw.shape, 0)
+        mv = m_ref[:, :]   # [1, B] int32
+        nv = n_ref[:, :]
+        mn_pos = (mv + nv) > 0
+
+        for kb in range(K):
+            d = i * K + kb
+            s1 = s1_ref[kb]        # [1, B]
+            mask = kidx == inj_ref[kb]
+            # The d=0 step is a harmless no-op against the init windows
+            # (xw uniform per lane and xv = refs[0]; s1(0) = 0), so no
+            # first-step special case is needed.
+            xw = _roll_down(xw)
+            xw = jnp.where(mask, xv_ref[kb], xw)
+            yw = jnp.where(mask & (s1 == 1), yv_ref[kb], yw)
+
+            krel = kidx - lom_ref[kb]
+            krel = krel + jnp.where(krel < 0, Wp, 0)
+            iv = lo_ref[kb] + krel
+            jv = d - iv
+            valid = (
+                (krel < width) & (iv <= mv) & (iv <= d)
+                & (jv >= 0) & (jv <= nv) & mn_pos
+            )
+            em, _ = _emissions(Em, None, xw, yw)
+            es_ref[kb] = jnp.where(valid, em, -1.0)
+            if want_yb:
+                yb_ref[kb] = yw.astype(jnp.int8)
+
+        xw_ref[:, :] = xw
+        yw_ref[:, :] = yw
+
+    return kernel
+
+
+def _expand_streams(st, comp: CompactCircBatch, width: int, d1k: int,
+                    want_yb: bool):
+    """(es [d1k, Wp, B] f32, yb [d1k, Wp, B] int8 | None,
+    fr / frr / lom [d1k, B] i32) — the complete serving stream set,
+    derived on device from a CompactCircBatch."""
+    from .bucket_scatter import GROUP, monotone_gather
+
+    Mp, B = comp.reads.shape
+    Np = comp.refs.shape[0]
+    Wp = comp.x_init.shape[0]
+    K = STEP_BLOCK
+    assert d1k % K == 0
+    d1kg = -(-d1k // GROUP) * GROUP
+
+    lo = comp.lo.astype(jnp.int32)
+    D1 = lo.shape[0]
+    if d1kg > D1:
+        lo_g = jnp.concatenate(
+            [lo, jnp.broadcast_to(lo[-1:], (d1kg - D1, B))], axis=0
+        )
+    else:
+        lo_g = lo[:d1kg]
+    d = jax.lax.broadcasted_iota(jnp.int32, (d1kg, B), 0)
+    gu = d - lo_g
+    s1 = jnp.concatenate(
+        [jnp.zeros((1, B), jnp.int32), lo_g[1:] - lo_g[:-1]], axis=0
+    )
+    lom = lo_g % Wp
+    injrow = (lo_g - s1) % Wp
+    fr = jnp.where((s1 == 0) & (d > 0), (lo_g + width) % Wp, -1)
+    frr = jnp.where(s1 == 1, (lo_g - 1) % Wp, -1)
+
+    reads_f = comp.reads.astype(jnp.float32)
+    refs_f = comp.refs.astype(jnp.float32)
+    yv = monotone_gather(reads_f, jnp.clip(lo_g + (Wp - 2), 0, Mp - 1))
+    xg = monotone_gather(refs_f, jnp.clip(gu - 1, 0, Np - 1))
+    xr = monotone_gather(refs_f, jnp.clip(gu - Wp, 0, Np - 1))
+    xv = jnp.where(s1 == 1, xr, xg)
+
+    cut = lambda a: a[:d1k][:, None, :]  # noqa: E731
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_specs = [blk3, blk3] if want_yb else [blk3]
+    out_shape = [jax.ShapeDtypeStruct((d1k, Wp, B), jnp.float32)]
+    if want_yb:
+        out_shape.append(jax.ShapeDtypeStruct((d1k, Wp, B), jnp.int8))
+    outs = pl.pallas_call(
+        _make_expand_kernel(st, width, Wp, want_yb),
+        grid=(d1k // K,),
+        in_specs=[blk2] * 6 + [full] * 4,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((Wp, B), jnp.float32),
+            pltpu.VMEM((Wp, B), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+        compiler_params=_compiler_params(min_mb=64),
+    )(
+        cut(lo_g), cut(lom), cut(s1), cut(injrow), cut(xv), cut(yv),
+        comp.m.astype(jnp.int32)[None, :],
+        comp.n.astype(jnp.int32)[None, :],
+        comp.x_init.astype(jnp.float32),
+        comp.y_init.astype(jnp.float32),
+    )
+    if want_yb:
+        es, yb = outs
+    else:
+        (es,) = outs if isinstance(outs, (list, tuple)) else (outs,)
+        yb = None
+    return es, yb, fr[:d1k], frr[:d1k], lom[:d1k]
+
+
+@functools.partial(jax.jit, static_argnames=("st", "width", "d1k"))
+def _posteriors_circ_mw_compact_static(st, comp: CompactCircBatch,
+                                       width: int, d1k: int):
+    gc = _flat_gap_consts(st)
+    assert gc is not None, "compact path needs flat gap emissions"
+    es, _, fr, frr, lom = _expand_streams(st, comp, width, d1k,
+                                          want_yb=False)
+    fink = comp.fink.astype(jnp.int32)[None, :]
+    find = comp.final_d.astype(jnp.int32)[None, :]
+    logZ, post, flc, flr, tc, tr = _mw_from_es(
+        st, gc, es, fink, find, fr, frr, lom
+    )
+    return logZ, post[: comp.lo.shape[0]], flc, flr, tc, tr
+
+
+def posteriors_weights_pallas_compact(tables: FbTables, comp, width: int):
+    """Fused realign serving over a CompactCircBatch: every band-shaped
+    stream (es, masks, flush rows) derives on device; the host uploads
+    only packed sequences + band offsets.  Output contract matches
+    posteriors_weights_pallas_circ."""
+    check_uniform_pi(tables)
+    d1k = -(-comp.lo.shape[0] // STEP_BLOCK) * STEP_BLOCK
+    return _posteriors_circ_mw_compact_static(
+        static_tables(tables), comp, width, d1k
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("st", "width", "d1k"))
+def _posteriors_circ_cx_compact_static(st, comp: CompactCircBatch,
+                                       width: int, d1k: int):
+    gc = _flat_gap_consts(st)
+    assert gc is not None, "compact path needs flat gap emissions"
+    es, yb, fr, _, _ = _expand_streams(st, comp, width, d1k, want_yb=True)
+    fink = comp.fink.astype(jnp.int32)[None, :]
+    find = comp.final_d.astype(jnp.int32)[None, :]
+    return _cx_from_es(st, gc, es, yb, fink, find, fr)
+
+
+def posteriors_expectations_pallas_compact(tables: FbTables, comp,
+                                           width: int):
+    """Fused caller serving over a CompactCircBatch (device-expanded
+    streams).  Output contract matches
+    posteriors_expectations_pallas_circ."""
+    check_uniform_pi(tables)
+    d1k = -(-comp.lo.shape[0] // STEP_BLOCK) * STEP_BLOCK
+    return _posteriors_circ_cx_compact_static(
+        static_tables(tables), comp, width, d1k
     )
 
 

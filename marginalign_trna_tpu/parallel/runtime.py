@@ -115,6 +115,55 @@ def allreduce_sum_host(*arrays):
     return tuple(out) if len(out) > 1 else out[0]
 
 
+def allgather_host_objects(obj):
+    """All-gather one picklable object per process; returns the list
+    [obj_from_process_0, ..., obj_from_process_{n-1}] on every process.
+    Single-process: [obj].  Transport is padded int32 words over
+    process_allgather (variable-length payloads: lengths gather first).
+
+    This is the jobTree shared-filesystem result-collection analog for
+    non-tensor outputs (e.g. realigned SAM records,
+    src/margin/marginAlignLib.py:320-367 collected per-chunk cigars from
+    the temp dir)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return [obj]
+    import pickle
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    payload = pickle.dumps(obj)
+    pad = (-len(payload)) % 4
+    words = np.frombuffer(payload + b"\0" * pad, dtype=np.int32)
+    n = np.array([len(payload)], np.int64)
+    lens = np.asarray(multihost_utils.process_allgather(n))[:, 0]
+    maxw = int((-(-int(lens.max()) // 4)))
+    buf = np.zeros(maxw, np.int32)
+    buf[: len(words)] = words
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    out = []
+    for p in range(gathered.shape[0]):
+        raw = np.ascontiguousarray(gathered[p]).tobytes()[: int(lens[p])]
+        out.append(pickle.loads(raw))
+    return out
+
+
+def local_dispatch_devices():
+    """Local devices for round-robin bucket dispatch (production
+    multi-device data parallelism within one process; the jobTree
+    maxThreads analog).  MARGINALIGN_LOCAL_DEVICES caps the count
+    (0 or 1 disables multi-device dispatch)."""
+    import jax
+
+    devices = jax.local_devices()
+    cap = os.environ.get("MARGINALIGN_LOCAL_DEVICES")
+    if cap is not None:
+        devices = devices[: max(1, int(cap))]
+    return devices
+
+
 def with_retries(
     fn: Callable[[], T],
     attempts: int = 3,

@@ -34,6 +34,7 @@ REFERENCE_TESTS = "/root/reference/tests"
 # the full suite stays the round-end gate.
 KERNEL_MODULES = {
     "test_pallas", "test_circ", "test_multi", "test_wavefront_pallas",
+    "test_expand",
 }
 
 

@@ -77,6 +77,58 @@ def local_counts(jobs):
     return expectation_step(batches, hmm)
 
 
+def realign_corpus(tmpdir):
+    """Deterministic tiny SAM + fastq + ref on disk; returns paths."""
+    from marginalign_trna_tpu.io.sam import SamFile, SamRecord, make_header
+
+    rng = np.random.default_rng(77)
+    bases = "ACGT"
+    ref_codes = rng.integers(0, 4, 120)
+    ref_seq = "".join(bases[c] for c in ref_codes)
+    records = []
+    for i in range(7):
+        start = int(rng.integers(0, 20))
+        ln = int(rng.integers(40, 80))
+        read = ref_codes[start : start + ln].copy()
+        subs = rng.random(ln) < 0.1
+        read[subs] = rng.integers(0, 4, int(subs.sum()))
+        seq = "".join(bases[c] for c in read)
+        records.append(SamRecord(
+            qname="r%d" % i, flag=0, rname="ref", pos=start, mapq=60,
+            cigar=[(0, ln)], seq=seq, qual="*",
+        ))
+    os.makedirs(tmpdir, exist_ok=True)
+    ref_fa = os.path.join(tmpdir, "ref.fa")
+    with open(ref_fa, "w") as fh:
+        fh.write(">ref\n%s\n" % ref_seq)
+    fq = os.path.join(tmpdir, "reads.fq")
+    with open(fq, "w") as fh:
+        for r in records:
+            fh.write("@%s\n%s\n+\n%s\n" % (r.qname, r.seq,
+                                           "I" * len(r.seq)))
+    sam_path = os.path.join(tmpdir, "in.sam")
+    SamFile(make_header([("ref", 120)]), records).write(sam_path)
+    return sam_path, fq, ref_fa
+
+
+def realign_multihost(tmpdir):
+    """Run the PRODUCTION realign path (job sharding + record all-gather,
+    align.realign.realign_sam_file) and return the output SAM text."""
+    from marginalign_trna_tpu.align.realign import realign_sam_file
+    from marginalign_trna_tpu.models.hmm import PairHmm
+
+    sam_path, fq, ref_fa = realign_corpus(tmpdir)
+    hmm = PairHmm.load(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "marginalign_trna_tpu", "models", "last_hmm_20.txt",
+    ))
+    out_sam = os.path.join(tmpdir, "out.sam")
+    realign_sam_file(sam_path, out_sam, fq, ref_fa, hmm, no_chain=True,
+                     split_size=0)
+    with open(out_sam) as fh:
+        return fh.read()
+
+
 def main():
     port, nproc, pid, out_path = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
@@ -95,6 +147,8 @@ def main():
     exp = caller_partial(indexed)
     tc, em, eg, ll, exp = allreduce_sum_host(tc, em, eg, ll, exp)
 
+    sam_text = realign_multihost(out_path + ".d%d" % pid)
+
     with open(out_path, "w") as fh:
         json.dump(
             {
@@ -104,6 +158,7 @@ def main():
                 "eg": np.asarray(eg).tolist(),
                 "ll": float(ll),
                 "exp": np.asarray(exp).tolist(),
+                "sam": sam_text,
             },
             fh,
         )
