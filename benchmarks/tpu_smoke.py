@@ -224,6 +224,37 @@ def main():
 
     _w2()
 
+    @smoke("expand rel + nw packed")
+    def _w4():
+        from marginalign_trna_tpu.ops.band import band_masks_device
+        from marginalign_trna_tpu.ops.fb import DeviceBatch
+        from marginalign_trna_tpu.ops.nw import traceback
+        from marginalign_trna_tpu import native
+
+        d1k = -(-comp.num_steps // fp.STEP_BLOCK) * fp.STEP_BLOCK
+        xbr, ybr = fp.expand_rel_codes(comp_dev, d1k)
+        valid, s1, s2 = band_masks_device(
+            comp_dev.lo, comp_dev.m, comp_dev.n, comp.width, comp.wp
+        )
+        devr = DeviceBatch(
+            xb=xbr[: comp.num_steps], yb=ybr[: comp.num_steps],
+            valid=valid, s1=s1, s2=s2,
+            final_d=jnp.asarray(comp.final_d),
+            final_k=jnp.asarray(comp.final_k),
+        )
+        res = wf.banded_nw_pallas(params, devr, pack_bits=4)
+        finite(res.score)
+        ptrs = np.asarray(res.pointers)
+        fs = np.asarray(res.final_state)
+        bits = 4
+        if not native.available():
+            ptrs = native.unpack_ptrs(ptrs, bits, comp.wp)
+            bits = 8
+        ops = traceback(ptrs, comp, 0, int(fs[0]), bits=bits)
+        assert ops
+
+    _w4()
+
     @smoke("mea delay-line")
     def _w3():
         D1, Wp, B = batch.xb.shape
@@ -237,6 +268,13 @@ def main():
             batch.final_d, batch.final_k, accr, accc, 0.5, 0.0,
         )
         finite(res.score)
+        res_p = wf.banded_mea_pallas_dl(
+            jnp.asarray(post), batch.lo, batch.m, batch.n, batch.width,
+            batch.final_d, batch.final_k, accr, accc, 0.5, 0.0,
+            pack_bits=2,
+        )
+        finite(res_p.score)
+        assert np.asarray(res_p.pointers).shape[1] == batch.wp // 4
 
     _w3()
 

@@ -65,6 +65,14 @@ class EmOptions:
     # the counts kernels), instead of the reference's serial trials
     # (cPecanEm expectationMaximisationTrials, marginAlignLib.py:219-221).
     lockstep: bool = True
+    # Re-derive the EM band every k iterations by MEA-realigning the
+    # training pairs with the current model (cPecanEm updateTheBand
+    # [reconstructed]: the DP band follows the evolving model's alignment
+    # instead of the original guide; the reference ships the flag
+    # commented out, src/margin/marginAlign.py:50).  0 = off (default,
+    # like the reference).  In lockstep mode the current best-likelihood
+    # trial's model drives the shared band.
+    update_band_every: int = 0
 
 
 @dataclass
@@ -355,6 +363,31 @@ def _init_trial_hmm(
     return hmm
 
 
+def _update_band_jobs(
+    jobs: List[RealignJob], hmm: PairHmm, options: EmOptions
+) -> List[RealignJob]:
+    """Re-derive each training pair's band path by MEA-realigning it with
+    the current model (EmOptions.update_band_every)."""
+    from ..ops.band import path_from_cigar
+    from .realign import realigned_ops_for_jobs
+
+    ops_list = realigned_ops_for_jobs(
+        jobs, hmm, 0.5, 0.0, options.band_width, split_size=0,
+    )
+    out = []
+    for job, ops in zip(jobs, ops_list):
+        aligned = [(op, ln) for op, ln in ops if op in (0, 1, 2)]
+        if not aligned:
+            out.append(job)
+            continue
+        pd, pi = path_from_cigar(aligned)
+        out.append(RealignJob(
+            record=job.record, read_region=job.read_region,
+            ref_region=job.ref_region, path=(pd, pi),
+        ))
+    return out
+
+
 def _train_em_lockstep(
     batches: List[Tuple[str, object, int]],
     options: EmOptions,
@@ -362,6 +395,7 @@ def _train_em_lockstep(
     psum_fn,
     log_fn,
     checkpoint_path: Optional[str],
+    jobs: Optional[List[RealignJob]] = None,
 ) -> EmTrialResult:
     """All trials advance together: per iteration, ONE device call per
     E-step batch computes every trial's counts (trials = major grid axis on
@@ -417,6 +451,19 @@ def _train_em_lockstep(
                 histories=histories,
                 frozen=frozen,
             ).save(checkpoint_path)
+        if (options.update_band_every and jobs is not None
+                and (it + 1) % options.update_band_every == 0
+                and not all(frozen)):
+            # Band follows the current best trial's model; per-trial
+            # likelihoods are then over the NEW band from the next
+            # iteration on (the reference's updateTheBand shares this
+            # band-change likelihood discontinuity).
+            jobs = _update_band_jobs(
+                jobs, hmms[int(np.argmax(lls))], options
+            )
+            batches = prepare_em_batches(
+                jobs, options.band_width, options.max_batch_cells
+            )
 
     best_t = int(np.argmax(lls))
     results = []
@@ -486,7 +533,8 @@ def train_em(
     )
     if options.lockstep and options.trials > 1 and not serial_resume:
         return _train_em_lockstep(
-            batches, options, input_hmm, psum_fn, log_fn, checkpoint_path
+            batches, options, input_hmm, psum_fn, log_fn, checkpoint_path,
+            jobs=jobs,
         )
 
     ckpt = EmCheckpoint.try_load(checkpoint_path)
@@ -512,8 +560,12 @@ def train_em(
             history = []
             start_iter = 0
             ll = -np.inf
+        # Each serial trial starts from the ORIGINAL guide band; band
+        # updates (update_band_every) stay trial-local.
+        trial_jobs, trial_batches = jobs, batches
         for it in range(start_iter, options.iterations):
-            tc, em, eg, new_ll = expectation_step(batches, hmm, psum_fn)
+            tc, em, eg, new_ll = expectation_step(trial_batches, hmm,
+                                                  psum_fn)
             hmm = _m_step(hmm, tc, em, eg, options.train_emissions)
             hmm.apply_model_type_constraints()
             if options.tie_emissions:
@@ -539,6 +591,12 @@ def train_em(
                 ll = new_ll
                 break
             ll = new_ll
+            if (options.update_band_every
+                    and (it + 1) % options.update_band_every == 0):
+                trial_jobs = _update_band_jobs(trial_jobs, hmm, options)
+                trial_batches = prepare_em_batches(
+                    trial_jobs, options.band_width, options.max_batch_cells
+                )
         hmm.likelihood = ll
         if options.output_trial_hmms_path:
             hmm.write("%s.trial%d" % (options.output_trial_hmms_path, trial))

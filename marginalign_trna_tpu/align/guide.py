@@ -449,12 +449,67 @@ def align_candidates(
                 records.append(rec)
         return records
 
+    from ..ops.dispatch import use_compact_streams, use_pallas
+
+    if use_pallas() and use_compact_streams():
+        # Compact device path: host packs only sequences + band offsets;
+        # the rel code windows expand on device, masks derive from the
+        # lo stream, and the NW pointers come back 4-bit packed (D2H on
+        # the remote tunnel measures ~30MB/s — the unpacked pointer pull
+        # was half the guide wall).
+
+        from .. import native as _native
+        from ..ops.band import band_masks_device, pack_compact_batch
+        from ..ops.fb import DeviceBatch as _DeviceBatch
+        from ..ops.fb_pallas import (
+            STEP_BLOCK, compact_device_batch, expand_rel_codes,
+        )
+        from ..ops.wavefront_pallas import banded_nw_pallas
+        from ..parallel.runtime import with_retries
+
+        comp = pack_compact_batch(reads, windows, width=cfg.band_width,
+                                  paths=paths, quantize=True)
+        d1k = -(-comp.num_steps // STEP_BLOCK) * STEP_BLOCK
+
+        def _run():
+            comp_dev = compact_device_batch(comp)
+            xb, yb = expand_rel_codes(comp_dev, d1k)
+            valid, s1, s2 = band_masks_device(
+                comp_dev.lo, comp_dev.m, comp_dev.n, comp.width, comp.wp
+            )
+            dev = _DeviceBatch(
+                xb=xb[: comp.num_steps], yb=yb[: comp.num_steps],
+                valid=valid, s1=s1, s2=s2,
+                final_d=jnp.asarray(comp.final_d),
+                final_k=jnp.asarray(comp.final_k),
+            )
+            res = banded_nw_pallas(params, dev, pack_bits=4)
+            # Contiguity once here: the packed device array can pull
+            # back non-contiguous, and the per-read traceback would
+            # then re-copy the whole array every call.
+            return (np.ascontiguousarray(np.asarray(res.pointers)),
+                    np.asarray(res.final_state))
+
+        pointers, final_states = with_retries(_run)
+        bits = 4
+        if not _native.available():
+            pointers = _native.unpack_ptrs(pointers, bits, comp.wp)
+            bits = 8
+        records = []
+        for b, c in enumerate(candidates):
+            ops = traceback(pointers, comp, b, int(final_states[b]),
+                            bits=bits)
+            rec = _ops_to_record(c, ops, index)
+            if rec is not None:
+                records.append(rec)
+        return records
+
     # Ladder quantization (steps + lanes) so repeated guide calls reuse
     # compiled kernels across varying candidate shapes.
     batch = pack_banded_batch(reads, windows, width=cfg.band_width,
                               paths=paths, quantize=True)
     res = banded_nw_auto(params, device_batch(batch))
-    pointers = np.asarray(res.pointers)
+    pointers = np.ascontiguousarray(np.asarray(res.pointers))
     final_states = np.asarray(res.final_state)
 
     records = []

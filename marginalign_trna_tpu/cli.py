@@ -118,10 +118,11 @@ def margin_align_main(argv=None) -> int:
                         "a random start (reference: useDefaultModelAsStart, "
                         "marginAlign.py:49)")
     p.add_argument("--updateTheBand", action="store_true",
-                   help="Accepted for compatibility (reference keeps this "
-                        "commented out, marginAlign.py:50); re-deriving the "
-                        "band during EM is not implemented — a warning is "
-                        "logged and the guide band is kept")
+                   help="Re-derive the EM band each iteration by "
+                        "MEA-realigning the training pairs with the "
+                        "current model (cPecanEm updateTheBand; the "
+                        "reference ships the flag commented out, "
+                        "marginAlign.py:50)")
     p.add_argument("--tieEmissions", action="store_true",
                    help="Tie short/long gap-state emissions during EM")
     p.add_argument("--setJukesCantorStartingEmissions", type=float,
@@ -183,12 +184,8 @@ def margin_align_main(argv=None) -> int:
                 ),
                 jukes_cantor_start=args.setJukesCantorStartingEmissions,
                 use_default_model_as_start=args.useDefaultModelAsStart,
+                update_band_every=1 if args.updateTheBand else 0,
             )
-            if args.updateTheBand:
-                print("--updateTheBand: band re-derivation during EM is "
-                      "not implemented (the reference keeps this option "
-                      "commented out, marginAlign.py:50); keeping the "
-                      "guide band.", file=sys.stderr)
             best = train_em(jobs, opts, input_hmm=hmm,
                             log_fn=lambda s: print(s, file=sys.stderr),
                             checkpoint_path=args.emCheckpoint)

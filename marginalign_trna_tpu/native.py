@@ -60,6 +60,19 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.chain_seeds.argtypes = [
         p(i64), p(i64), i64, i64, i64, p(i64), i64,
     ]
+    if hasattr(lib, "nw_traceback_b"):
+        lib.nw_traceback_b.restype = i64
+        lib.nw_traceback_b.argtypes = [
+            p(ctypes.c_uint8), p(ctypes.c_int32),
+            i64, i64, i64, i64, i64, i64, ctypes.c_int32, ctypes.c_int32,
+            p(ctypes.c_uint8), i64,
+        ]
+        lib.mea_traceback_b.restype = i64
+        lib.mea_traceback_b.argtypes = [
+            p(ctypes.c_uint8), p(ctypes.c_int32),
+            i64, i64, i64, i64, i64, i64, ctypes.c_int32,
+            p(ctypes.c_uint8), i64,
+        ]
     lib.pack_band_lane.restype = None
     lib.pack_band_lane.argtypes = [
         p(ctypes.c_int8), i64, p(ctypes.c_int8), i64,
@@ -75,6 +88,20 @@ def available() -> bool:
     return _load() is not None
 
 
+def unpack_ptrs(packed: np.ndarray, bits: int, wp: int) -> np.ndarray:
+    """Host-side inverse of wavefront_pallas.pack_ptr_bits (for the pure-
+    Python traceback fallback): [D1, Wq, B] uint8 -> [D1, wp, B] uint8."""
+    if bits == 8:
+        return packed
+    per = 8 // bits
+    D1, Wq, B = packed.shape
+    mask = (1 << bits) - 1
+    out = np.empty((D1, Wq * per, B), np.uint8)
+    for t in range(per):
+        out[:, t::per, :] = (packed >> (t * bits)) & mask
+    return np.ascontiguousarray(out[:, :wp])
+
+
 def _rle(ops: np.ndarray) -> List[Tuple[int, int]]:
     """Run-length encode a reversed op array into [(op, len)] (fwd order)."""
     out: List[Tuple[int, int]] = []
@@ -88,45 +115,63 @@ def _rle(ops: np.ndarray) -> List[Tuple[int, int]]:
 
 
 def nw_traceback(
-    pointers: np.ndarray,  # [D1, Wp, B] uint8, C-contiguous
+    pointers: np.ndarray,  # [D1, Wp_arr, B] uint8, C-contiguous
     lo: np.ndarray,        # [D1] int32
     lane: int,
     m: int,
     n: int,
     final_state: int,
+    bits: int = 8,         # cells packed (8 // bits) per byte along Wp
 ) -> Optional[List[Tuple[int, int]]]:
     lib = _load()
     if lib is None:
         return None
+    if bits != 8 and not hasattr(lib, "nw_traceback_b"):
+        return None  # stale .so without the packed entry point
     d1, wp, b = pointers.shape
     out = np.empty(m + n + 2, dtype=np.uint8)
-    cnt = lib.nw_traceback(
-        pointers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        np.ascontiguousarray(lo, dtype=np.int32).ctypes.data_as(
-            ctypes.POINTER(ctypes.c_int32)),
-        d1, wp, b, lane, m, n, final_state,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(out),
-    )
+    lo_p = np.ascontiguousarray(lo, dtype=np.int32).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_int32))
+    ptr_p = pointers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    out_p = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if bits == 8:
+        cnt = lib.nw_traceback(
+            ptr_p, lo_p, d1, wp, b, lane, m, n, final_state, out_p,
+            len(out),
+        )
+    else:
+        cnt = lib.nw_traceback_b(
+            ptr_p, lo_p, d1, wp, b, lane, m, n, final_state, bits, out_p,
+            len(out),
+        )
     if cnt < 0:
         return None
     return _rle(out[:cnt])
 
 
 def mea_traceback(
-    pointers: np.ndarray, lo: np.ndarray, lane: int, m: int, n: int
+    pointers: np.ndarray, lo: np.ndarray, lane: int, m: int, n: int,
+    bits: int = 8,
 ) -> Optional[List[Tuple[int, int]]]:
     lib = _load()
     if lib is None:
         return None
+    if bits != 8 and not hasattr(lib, "mea_traceback_b"):
+        return None
     d1, wp, b = pointers.shape
     out = np.empty(m + n + 2, dtype=np.uint8)
-    cnt = lib.mea_traceback(
-        pointers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        np.ascontiguousarray(lo, dtype=np.int32).ctypes.data_as(
-            ctypes.POINTER(ctypes.c_int32)),
-        d1, wp, b, lane, m, n,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(out),
-    )
+    lo_p = np.ascontiguousarray(lo, dtype=np.int32).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_int32))
+    ptr_p = pointers.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    out_p = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if bits == 8:
+        cnt = lib.mea_traceback(
+            ptr_p, lo_p, d1, wp, b, lane, m, n, out_p, len(out),
+        )
+    else:
+        cnt = lib.mea_traceback_b(
+            ptr_p, lo_p, d1, wp, b, lane, m, n, bits, out_p, len(out),
+        )
     if cnt < 0:
         return None
     return _rle(out[:cnt])

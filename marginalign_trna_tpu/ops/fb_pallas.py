@@ -3564,6 +3564,108 @@ def posteriors_expectations_pallas_compact(tables: FbTables, comp,
     )
 
 
+def _make_expand_rel_kernel(Wp: int):
+    """BAND-RELATIVE code-window expansion (the guide NW kernel's layout):
+    rel row k holds i = lo + k.  When lo steps the read window rolls up
+    one row with one entering value at the top; when gu steps the ref
+    window rolls down one row with one entering value at row 0 — both
+    rolls conditional (s1), both injects at STATIC rows."""
+    K = STEP_BLOCK
+
+    def kernel(s1_ref, xg_ref, yv_ref, xinit_ref, yinit_ref,
+               xb_ref, yb_ref, xw_ref, yw_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            xw_ref[:, :] = xinit_ref[:, :]
+            yw_ref[:, :] = yinit_ref[:, :]
+
+        xw = xw_ref[:, :]
+        yw = yw_ref[:, :]
+        kidx = jax.lax.broadcasted_iota(jnp.int32, xw.shape, 0)
+
+        for kb in range(K):
+            d = i * K + kb
+            s1 = s1_ref[kb]                     # [1, B]
+            lo_step = s1 == 1
+            gu_step = (s1 == 0) & (d > 0)
+            yw = jnp.where(lo_step, _roll_up(yw), yw)
+            yw = jnp.where(lo_step & (kidx == Wp - 1), yv_ref[kb], yw)
+            xw = jnp.where(gu_step, _roll_down(xw), xw)
+            xw = jnp.where(gu_step & (kidx == 0), xg_ref[kb], xw)
+            xb_ref[kb] = xw.astype(jnp.int8)
+            yb_ref[kb] = yw.astype(jnp.int8)
+
+        xw_ref[:, :] = xw
+        yw_ref[:, :] = yw
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("d1k",))
+def expand_rel_codes(comp: CompactCircBatch, d1k: int):
+    """(xb, yb) [d1k, Wp, B] int8 in BAND-RELATIVE layout, expanded on
+    device from a CompactCircBatch — code values equal the host
+    pack_banded_batch arrays at every in-band cell.  Pair with
+    band.band_masks_device for valid/s1/s2 to build a DeviceBatch for
+    the NW wavefront without any host band-array construction."""
+    from .bucket_scatter import GROUP, monotone_gather
+
+    Mp, B = comp.reads.shape
+    Np = comp.refs.shape[0]
+    Wp = comp.x_init.shape[0]
+    K = STEP_BLOCK
+    assert d1k % K == 0
+    d1kg = -(-d1k // GROUP) * GROUP
+
+    lo = comp.lo.astype(jnp.int32)
+    D1 = lo.shape[0]
+    if d1kg > D1:
+        lo_g = jnp.concatenate(
+            [lo, jnp.broadcast_to(lo[-1:], (d1kg - D1, B))], axis=0
+        )
+    else:
+        lo_g = lo[:d1kg]
+    d = jax.lax.broadcasted_iota(jnp.int32, (d1kg, B), 0)
+    gu = d - lo_g
+    s1 = jnp.concatenate(
+        [jnp.zeros((1, B), jnp.int32), lo_g[1:] - lo_g[:-1]], axis=0
+    )
+    reads_f = comp.reads.astype(jnp.float32)
+    refs_f = comp.refs.astype(jnp.float32)
+    yv = monotone_gather(reads_f, jnp.clip(lo_g + (Wp - 2), 0, Mp - 1))
+    xg = monotone_gather(refs_f, jnp.clip(gu - 1, 0, Np - 1))
+
+    cut = lambda a: a[:d1k][:, None, :]  # noqa: E731
+    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    xb, yb = pl.pallas_call(
+        _make_expand_rel_kernel(Wp),
+        grid=(d1k // K,),
+        in_specs=[blk2] * 3 + [full] * 2,
+        out_specs=[blk3, blk3],
+        out_shape=[
+            jax.ShapeDtypeStruct((d1k, Wp, B), jnp.int8),
+            jax.ShapeDtypeStruct((d1k, Wp, B), jnp.int8),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Wp, B), jnp.float32),
+            pltpu.VMEM((Wp, B), jnp.float32),
+        ],
+        interpret=_use_interpret(),
+        compiler_params=_compiler_params(min_mb=64),
+    )(
+        cut(s1), cut(xg), cut(yv),
+        comp.x_init.astype(jnp.float32),
+        comp.y_init.astype(jnp.float32),
+    )
+    return xb, yb
+
+
 # --------- checkpoint-recompute serving (no stored backward band) ---------
 #
 # The stored serving path writes the backward match band and re-reads it in

@@ -292,11 +292,27 @@ def mea_decode(
         accr, accc = rowcol
         from .wavefront_pallas import banded_mea_pallas_dl
 
+        # 2-bit packed pointers: D2H on the remote tunnel measures
+        # ~30MB/s, so the pointer pull dominated the realign wall; the
+        # native traceback reads packed bytes directly.
+        ptr_bits = 2
         res = banded_mea_pallas_dl(
             jnp.asarray(post), batch.lo, batch.m, batch.n, batch.width,
             batch.final_d, batch.final_k, accr, accc,
-            gap_gamma, match_gamma,
+            gap_gamma, match_gamma, pack_bits=ptr_bits,
         )
+        from .. import native as _native
+
+        # One contiguity pass HERE: np.asarray of the packed device
+        # array can come back non-contiguous, and the per-lane
+        # np.ascontiguousarray inside the traceback would then copy the
+        # whole pointer array once per read (measured ~50s per bucket).
+        pointers = np.ascontiguousarray(np.asarray(res.pointers))
+        if not _native.available():
+            pointers = _native.unpack_ptrs(pointers, ptr_bits, Wp)
+            ptr_bits = 8
+        return [_traceback_one(pointers, batch, b, bits=ptr_bits)
+                for b in range(B)]
     elif use_device:
         # Weights and DP stay on device; only pointers cross to the host.
         post_dev = jnp.asarray(post)
@@ -325,7 +341,7 @@ def mea_decode(
             jnp.asarray(batch.s2),
             jnp.asarray(batch.final_d), jnp.asarray(batch.final_k),
         )
-    pointers = np.asarray(res.pointers)
+    pointers = np.ascontiguousarray(np.asarray(res.pointers))
     out = []
     for b in range(B):
         out.append(_traceback_one(pointers, batch, b))
@@ -333,15 +349,17 @@ def mea_decode(
 
 
 def _traceback_one(
-    pointers: np.ndarray, batch: BandedBatch, b: int
+    pointers: np.ndarray, batch: BandedBatch, b: int, bits: int = 8
 ) -> List[Tuple[int, int]]:
     from .. import native as _native
 
     m, n = int(batch.m[b]), int(batch.n[b])
     lo = batch.lo[:, b]
-    nat = _native.mea_traceback(np.ascontiguousarray(pointers), lo, b, m, n)
+    nat = _native.mea_traceback(np.ascontiguousarray(pointers), lo, b, m, n,
+                                bits=bits)
     if nat is not None:
         return nat
+    assert bits == 8, "packed pointers need the native traceback"
     i, j = m, n
     ops_rev: List[int] = []
     while not (i == 0 and j == 0):
@@ -538,6 +556,6 @@ def mea_decode_multi(
         jnp.asarray(mb.final_d), 
         jnp.asarray(np.array([pr.lane for pr in mb.problems], np.int32)),
     )
-    pointers = np.asarray(res.pointers)
+    pointers = np.ascontiguousarray(np.asarray(res.pointers))
     return [_traceback_problem(pointers, mb, p)
             for p in range(len(mb.problems))]

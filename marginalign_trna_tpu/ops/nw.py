@@ -146,13 +146,17 @@ def traceback(
     batch: BandedBatch,
     b: int,
     final_state: int = S_M,
+    bits: int = 8,
 ) -> List[Tuple[int, int]]:
     """Host traceback for read b: returns aligned ops [(op, len)] with
     0=M, 1=I (read), 2=D (ref) in prefix coordinates from (m,n) to (0,0).
-    Uses the native decoder when built (native/margin_native.cpp)."""
+    Uses the native decoder when built (native/margin_native.cpp).
+    bits < 8: pointers are bit-packed 8//bits cells per byte
+    (wavefront_pallas.pack_ptr_bits)."""
     m, n = int(batch.m[b]), int(batch.n[b])
     return _traceback_arrays(
-        np.ascontiguousarray(pointers), batch.lo[:, b], b, m, n, final_state
+        np.ascontiguousarray(pointers), batch.lo[:, b], b, m, n,
+        final_state, bits,
     )
 
 
@@ -177,12 +181,17 @@ def _traceback_arrays(
     m: int,
     n: int,
     final_state: int,
+    bits: int = 8,
 ) -> List[Tuple[int, int]]:
     from .. import native as _native
 
-    nat = _native.nw_traceback(pointers, lo, b, m, n, final_state)
+    nat = _native.nw_traceback(pointers, lo, b, m, n, final_state,
+                               bits=bits)
     if nat is not None:
         return nat
+    if bits != 8:
+        pointers = _native.unpack_ptrs(pointers, bits, pointers.shape[1]
+                                       * (8 // bits))
     i, j = m, n
     state = final_state
     ops_rev: List[int] = []

@@ -48,6 +48,29 @@ def _max_argmax3(v0, v1, v2):
     return m, p
 
 
+def pack_ptr_bits(ptrs, bits: int):
+    """Pack pointer cells (values < 2**bits) 8//bits per byte along the
+    band dimension: [D1, Wp, B] int -> [D1, ceil(Wp*bits/8), B] uint8.
+
+    Device-to-host on the remote-PJRT tunnel measures ~30MB/s
+    (benchmarks: d2h probe, round 5), so the pointer pull — not the DP —
+    was the realign/guide wall; 2-bit MEA and 4-bit NW packing cut it
+    4x/2x.  The native tracebacks read packed bytes directly
+    (native/margin_native.cpp fetch_cell)."""
+    if bits == 8:
+        return ptrs.astype(jnp.uint8)
+    per = 8 // bits
+    D1, Wp, B = ptrs.shape
+    pad = (-Wp) % per
+    if pad:
+        ptrs = jnp.pad(ptrs, [(0, 0), (0, pad), (0, 0)])
+    g = ptrs.astype(jnp.int32).reshape(D1, (Wp + pad) // per, per, B)
+    acc = g[:, :, 0, :]
+    for t in range(1, per):
+        acc = acc | (g[:, :, t, :] << (t * bits))
+    return acc.astype(jnp.uint8)
+
+
 # ------------------------------------------------------------------ NW
 
 
@@ -138,9 +161,12 @@ def _nw_kernel(
     m2_ref[:, :], x2_ref[:, :], y2_ref[:, :] = f2
 
 
-@jax.jit
-def banded_nw_pallas(params_arr: jnp.ndarray, batch: DeviceBatch):
-    """Drop-in Pallas version of ops.nw.banded_nw (same NwResult fields)."""
+@functools.partial(jax.jit, static_argnames=("pack_bits",))
+def banded_nw_pallas(params_arr: jnp.ndarray, batch: DeviceBatch,
+                     pack_bits: int = 8):
+    """Drop-in Pallas version of ops.nw.banded_nw (same NwResult fields).
+    pack_bits=4 returns pointers bit-packed 2 cells/byte (pack_ptr_bits);
+    pass bits=4 to the traceback."""
     from .nw import NwResult
 
     D1, Wp, B = batch.xb.shape
@@ -187,7 +213,7 @@ def banded_nw_pallas(params_arr: jnp.ndarray, batch: DeviceBatch):
         axis=-1,
     )  # [B, 3]
     return NwResult(
-        pointers=ptrs[:D1].astype(jnp.uint8),
+        pointers=pack_ptr_bits(ptrs[:D1], pack_bits),
         score=jnp.max(term, axis=-1),
         final_state=jnp.argmax(term, axis=-1),
     )
@@ -607,7 +633,7 @@ def _mea_dl_jit(post, valid, s1, s2, final_k, lo, accr, accc,
 
 def banded_mea_pallas_dl(
     post, lo, m, n, width, final_d, final_k, accr, accc,
-    gap_gamma: float, match_gamma: float,
+    gap_gamma: float, match_gamma: float, pack_bits: int = 8,
 ):
     """Drop-in banded_mea from the RAW posterior band + per-position
     row/col sums (same MeaResult as banded_mea_pallas, which takes
@@ -634,7 +660,7 @@ def banded_mea_pallas_dl(
     d_idx = jnp.asarray(final_d).astype(jnp.int32)
     b_idx = jnp.arange(B)
     return MeaResult(
-        pointers=ptrs[:D1].astype(jnp.uint8),
+        pointers=pack_ptr_bits(ptrs[:D1], pack_bits),
         score=terms[d_idx, 0, b_idx],
     )
 

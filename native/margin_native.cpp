@@ -14,20 +14,40 @@
 #include <algorithm>
 #include <vector>
 
+namespace {
+
+// Fetch one pointer cell from a [D1, Wp_arr, B]-strided array that packs
+// (8 / bits) cells per byte along the band dimension (device-side pack:
+// row k lives in byte k / per, bit offset (k % per) * bits).  bits == 8 is
+// the legacy unpacked layout.  Bit-packing exists because device-to-host
+// on the remote-PJRT tunnel measures ~30MB/s — the pointer pull was the
+// realign/guide wall once compute went device-side.
+static inline uint8_t fetch_cell(
+    const uint8_t* ptr, int64_t d, int64_t k,
+    int64_t wp_arr, int64_t b_stride, int64_t lane, int32_t bits) {
+  if (bits == 8) return ptr[(d * wp_arr + k) * b_stride + lane];
+  int64_t per = 8 / bits;
+  uint8_t byte = ptr[(d * wp_arr + k / per) * b_stride + lane];
+  return (byte >> ((k % per) * bits)) & ((1 << bits) - 1);
+}
+
+}  // namespace
+
 extern "C" {
 
 // ---------------------------------------------------------------- traceback
 
-// Guide Viterbi traceback.  pointers: [D1, Wp, B] uint8 packed
-// (ptrM | ptrIx<<2 | ptrIy<<3); lo: [D1] int32 band offsets for this lane.
-// Emits ops (0=M, 1=I, 2=D) reversed into out_ops; returns count, or -1 on
-// error/overflow.
-int64_t nw_traceback(
+// Guide Viterbi traceback.  pointers: [D1, Wp_arr, B] uint8 holding
+// (8 / bits) cells per byte (ptrM | ptrIx<<2 | ptrIy<<3 per cell);
+// lo: [D1] int32 band offsets for this lane.  Emits ops (0=M, 1=I, 2=D)
+// reversed into out_ops; returns count, or -1 on error/overflow.
+int64_t nw_traceback_b(
     const uint8_t* pointers, const int32_t* lo,
-    int64_t d1, int64_t wp, int64_t b_stride, int64_t lane,
-    int64_t m, int64_t n, int32_t final_state,
+    int64_t d1, int64_t wp_arr, int64_t b_stride, int64_t lane,
+    int64_t m, int64_t n, int32_t final_state, int32_t bits,
     uint8_t* out_ops, int64_t max_ops) {
   int64_t i = m, j = n;
+  int64_t wp = wp_arr * (8 / bits);
   int state = final_state;
   int64_t count = 0;
   while (!(i == 0 && j == 0)) {
@@ -39,7 +59,7 @@ int64_t nw_traceback(
     int64_t d = i + j;
     int64_t k = i - lo[d];
     if (k < 0 || k >= wp || d < 0 || d >= d1) return -1;
-    uint8_t p = pointers[(d * wp + k) * b_stride + lane];
+    uint8_t p = fetch_cell(pointers, d, k, wp_arr, b_stride, lane, bits);
     if (state == 0) {
       out_ops[count++] = 0;
       state = p & 0x3;
@@ -59,13 +79,23 @@ int64_t nw_traceback(
   return count;
 }
 
-// MEA traceback.  pointers: [D1, Wp, B] uint8 (0=diag, 1=left/ref, 2=up).
-int64_t mea_traceback(
+int64_t nw_traceback(
     const uint8_t* pointers, const int32_t* lo,
     int64_t d1, int64_t wp, int64_t b_stride, int64_t lane,
-    int64_t m, int64_t n,
+    int64_t m, int64_t n, int32_t final_state,
+    uint8_t* out_ops, int64_t max_ops) {
+  return nw_traceback_b(pointers, lo, d1, wp, b_stride, lane, m, n,
+                        final_state, 8, out_ops, max_ops);
+}
+
+// MEA traceback.  Cells are 0=diag, 1=left/ref, 2=up; bits as above.
+int64_t mea_traceback_b(
+    const uint8_t* pointers, const int32_t* lo,
+    int64_t d1, int64_t wp_arr, int64_t b_stride, int64_t lane,
+    int64_t m, int64_t n, int32_t bits,
     uint8_t* out_ops, int64_t max_ops) {
   int64_t i = m, j = n;
+  int64_t wp = wp_arr * (8 / bits);
   int64_t count = 0;
   while (!(i == 0 && j == 0)) {
     if (count >= max_ops) return -1;
@@ -82,7 +112,7 @@ int64_t mea_traceback(
     int64_t d = i + j;
     int64_t k = i - lo[d];
     if (k < 0 || k >= wp || d >= d1) return -1;
-    uint8_t p = pointers[(d * wp + k) * b_stride + lane];
+    uint8_t p = fetch_cell(pointers, d, k, wp_arr, b_stride, lane, bits);
     if (p == 0) {
       out_ops[count++] = 0;
       --i;
@@ -97,6 +127,15 @@ int64_t mea_traceback(
     if (i < 0 || j < 0) return -1;
   }
   return count;
+}
+
+int64_t mea_traceback(
+    const uint8_t* pointers, const int32_t* lo,
+    int64_t d1, int64_t wp, int64_t b_stride, int64_t lane,
+    int64_t m, int64_t n,
+    uint8_t* out_ops, int64_t max_ops) {
+  return mea_traceback_b(pointers, lo, d1, wp, b_stride, lane, m, n, 8,
+                         out_ops, max_ops);
 }
 
 // ----------------------------------------------------------------- chaining

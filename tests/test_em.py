@@ -231,3 +231,22 @@ def test_em_option_surface(rng, tmp_path):
     root = ET.parse(xml_path).getroot()
     assert root.tag == "hmm"
     assert len(root.find("transitions")) == 25
+
+
+def test_em_update_the_band(rng):
+    """updateTheBand: band re-derivation from the current model runs for
+    both lockstep and serial trials and still trains a valid improving
+    model (reference: cPecanEm updateTheBand, shipped commented out at
+    marginAlign.py:50 — semantics [reconstructed])."""
+    jobs = _synthetic_jobs(rng, n_pairs=8, length=50)
+    for lockstep in (False, True):
+        opts = EmOptions(
+            trials=2 if lockstep else 1, iterations=4, band_width=15,
+            seed=5, split_size=0, lockstep=lockstep, update_band_every=1,
+        )
+        best = train_em(jobs, opts)
+        assert np.isfinite(best.likelihood)
+        assert len(best.likelihood_history) >= 2
+        # Training still helps despite band changes between iterations.
+        assert best.likelihood_history[-1] > best.likelihood_history[0]
+        best.hmm.check()

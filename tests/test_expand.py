@@ -206,6 +206,137 @@ def test_caller_production_compact_matches_host_streams(rng, monkeypatch):
         assert np.array_equal(want[k], got[k]), k
 
 
+def test_expand_rel_codes_match_host(rng):
+    """Device REL-layout code expansion equals pack_banded_batch's
+    xb/yb at every in-band cell."""
+    from marginalign_trna_tpu.ops.fb_pallas import (
+        STEP_BLOCK, compact_device_batch, expand_rel_codes,
+    )
+
+    reads, refs, paths = _mk_inputs(rng)
+    full = pack_banded_batch(reads, refs, width=21, paths=paths,
+                             quantize=True)
+    comp = pack_compact_batch(reads, refs, width=21, paths=paths,
+                              quantize=True)
+    d1k = -(-comp.num_steps // STEP_BLOCK) * STEP_BLOCK
+    xb, yb = expand_rel_codes(compact_device_batch(comp), d1k)
+    xb = np.asarray(xb)[: full.num_steps]
+    yb = np.asarray(yb)[: full.num_steps]
+    v = full.valid
+    assert np.array_equal(np.where(v, xb, 0), np.where(v, full.xb, 0))
+    assert np.array_equal(np.where(v, yb, 0), np.where(v, full.yb, 0))
+
+
+def test_packed_ptr_roundtrip(rng):
+    """pack_ptr_bits (device) and native.unpack_ptrs (host) invert."""
+    import jax.numpy as jnp
+
+    from marginalign_trna_tpu import native
+    from marginalign_trna_tpu.ops.wavefront_pallas import pack_ptr_bits
+
+    for bits, hi in ((2, 3), (4, 16)):
+        ptrs = rng.integers(0, hi, size=(16, 24, 8)).astype(np.int32)
+        packed = np.asarray(pack_ptr_bits(jnp.asarray(ptrs), bits))
+        assert packed.shape == (16, 24 * bits // 8, 8)
+        un = native.unpack_ptrs(packed, bits, 24)
+        assert np.array_equal(un, ptrs.astype(np.uint8))
+
+
+def test_nw_packed_traceback_matches_unpacked(rng):
+    """4-bit packed NW pointers decode to the identical ops (native
+    packed fetch vs the legacy unpacked path)."""
+    import jax.numpy as jnp
+
+    from marginalign_trna_tpu.ops.fb import device_batch
+    from marginalign_trna_tpu.ops.nw import traceback
+    from marginalign_trna_tpu.ops.wavefront_pallas import banded_nw_pallas
+
+    reads, refs, paths = _mk_inputs(rng)
+    full = pack_banded_batch(reads, refs, width=21, paths=paths,
+                             quantize=True)
+    dev = device_batch(full)
+    params = jnp.asarray([1.0, -2.0, -3.0, -1.0], jnp.float32)
+    plain = banded_nw_pallas(params, dev)
+    packed = banded_nw_pallas(params, dev, pack_bits=4)
+    fs = np.asarray(plain.final_state)
+    assert np.array_equal(fs, np.asarray(packed.final_state))
+    pp = np.asarray(plain.pointers)
+    pk = np.asarray(packed.pointers)
+    for b in range(len(reads)):
+        want = traceback(pp, full, b, int(fs[b]))
+        got = traceback(pk, full, b, int(fs[b]), bits=4)
+        assert want == got, b
+
+
+def test_mea_packed_traceback_matches_unpacked(rng):
+    """2-bit packed DL MEA pointers decode to the identical ops."""
+    from marginalign_trna_tpu.ops.mea import _round_up, _traceback_one
+    from marginalign_trna_tpu.ops.wavefront_pallas import (
+        banded_mea_pallas_dl,
+    )
+
+    reads, refs, paths = _mk_inputs(rng)
+    full = pack_banded_batch(reads, refs, width=21, paths=paths,
+                             quantize=True)
+    D1, Wp, B = full.valid.shape
+    post = (rng.random((D1, Wp, B)).astype(np.float32) * full.valid)
+    rgm = _round_up(max(int(full.m.max()), 1), 256)
+    rgn = _round_up(max(int(full.n.max()), 1), 256)
+    accr = rng.random((rgm, B)).astype(np.float32)
+    accc = rng.random((rgn, B)).astype(np.float32)
+    kw = dict(gap_gamma=0.5, match_gamma=0.0)
+    plain = banded_mea_pallas_dl(
+        post, full.lo, full.m, full.n, full.width, full.final_d,
+        full.final_k, accr, accc, **kw
+    )
+    packed = banded_mea_pallas_dl(
+        post, full.lo, full.m, full.n, full.width, full.final_d,
+        full.final_k, accr, accc, pack_bits=2, **kw
+    )
+    pp = np.asarray(plain.pointers)
+    pk = np.asarray(packed.pointers)
+    for b in range(len(reads)):
+        want = _traceback_one(pp, full, b)
+        got = _traceback_one(pk, full, b, bits=2)
+        assert want == got, b
+
+
+def test_guide_compact_matches_host_path(rng, monkeypatch):
+    """align_candidates emits identical SAM records with the compact
+    device guide path vs host stream construction."""
+    from marginalign_trna_tpu.align.guide import (
+        GuideConfig, KmerIndex, _best_candidate, align_candidates,
+    )
+    from marginalign_trna_tpu.utils.seq import BASES
+
+    cfg = GuideConfig(k=9, band_width=16)
+    ref_codes = rng.integers(0, 4, size=300)
+    refs = {"r0": "".join(BASES[c] for c in ref_codes)}
+    index = KmerIndex(refs, cfg.k, cfg.minimizer_w)
+    candidates = []
+    for i in range(6):
+        start = int(rng.integers(0, 60))
+        ln = int(rng.integers(80, 200))
+        read = ref_codes[start : start + ln].copy()
+        subs = rng.random(len(read)) < 0.08
+        read[subs] = rng.integers(0, 4, size=int(subs.sum()))
+        c = _best_candidate(
+            "q%d" % i, "".join(BASES[x] for x in read), index, cfg
+        )
+        if c is not None:
+            candidates.append(c)
+    assert len(candidates) >= 4
+    monkeypatch.setenv("MARGINALIGN_KERNEL", "pallas")
+    monkeypatch.setenv("MARGINALIGN_COMPACT", "off")
+    want = align_candidates(candidates, index, cfg)
+    monkeypatch.setenv("MARGINALIGN_COMPACT", "on")
+    got = align_candidates(candidates, index, cfg)
+    assert [r.to_line() if hasattr(r, "to_line") else str(r.__dict__)
+            for r in want] == \
+           [r.to_line() if hasattr(r, "to_line") else str(r.__dict__)
+            for r in got]
+
+
 def test_compact_cx_serving_matches_circ(rng):
     """Full fused caller serving: compact == circ path outputs."""
     from marginalign_trna_tpu.models.hmm import PairHmm
