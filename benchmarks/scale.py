@@ -91,6 +91,40 @@ def main() -> int:
         "devices": len(devices),
         "dp_cells_per_sec": cells / dt,
     }))
+
+    # Production realign path under multi-device round-robin dispatch
+    # (align.realign bucket loop; MARGINALIGN_LOCAL_DEVICES caps it).
+    from marginalign_trna_tpu.align.realign import (
+        RealignJob, realigned_ops_for_jobs,
+    )
+    from marginalign_trna_tpu.ops.band import path_from_cigar
+
+    rng = np.random.default_rng(7)
+    jobs = []
+    for _ in range(args.reads):
+        ref = rng.integers(0, 4, size=args.read_len).astype(np.int8)
+        read = ref.copy()
+        subs = rng.random(args.read_len) < 0.1
+        read[subs] = rng.integers(0, 4, size=int(subs.sum()))
+        jobs.append(RealignJob(
+            record=None, read_region=read, ref_region=ref,
+            path=path_from_cigar([(0, args.read_len)]),
+        ))
+    os.environ["MARGINALIGN_LOCAL_DEVICES"] = str(args.devices)
+    cells_per_job = 2 * args.read_len * 21
+    realigned_ops_for_jobs(jobs, hmm, 0.5, 0.0)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        realigned_ops_for_jobs(jobs, hmm, 0.5, 0.0)
+    dt = (time.perf_counter() - t0) / args.iters
+    print(json.dumps({
+        "metric": "realign_reads_per_sec",
+        "value": args.reads / dt,
+        "unit": "reads/s (%d devices round-robin, %d x %dbp, band 21)"
+        % (args.devices, args.reads, args.read_len),
+        "devices": args.devices,
+        "dp_cells_per_sec": args.reads * cells_per_job / dt,
+    }))
     return 0
 
 

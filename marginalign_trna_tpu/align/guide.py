@@ -51,7 +51,13 @@ class GuideConfig:
     max_hits_per_kmer: int = 64
     max_chain_gap: int = 500
     max_diag_drift: int = 120
-    band_width: int = 64
+    # Guide Viterbi band half-window.  Width-sensitivity A/B on the
+    # reference fixtures (reads.fq vs referencesMutated.fa, round 5):
+    # mean identity 0.5475 / 0.5466 / 0.5464 / 0.5459 at 64/48/40/32 —
+    # flat to ~0.002 — while pointer-pull bytes (the guide's D2H wall on
+    # the ~30MB/s tunnel) scale ~linearly with width.  40 keeps margin
+    # over the real-mapper fixture bar (0.527) at 2/3 the transfer.
+    band_width: int = 40
     edge_pad: int = 32
     max_seeds_for_chaining: int = 1500
     # (w,k)-minimizer sampling window; 0 = index/query every k-mer.
@@ -456,7 +462,13 @@ def align_candidates(
         # the rel code windows expand on device, masks derive from the
         # lo stream, and the NW pointers come back 4-bit packed (D2H on
         # the remote tunnel measures ~30MB/s — the unpacked pointer pull
-        # was half the guide wall).
+        # was half the guide wall).  Candidates run in size-sorted
+        # buckets, pipelined with async host copies so pointer pulls
+        # overlap later buckets' device compute, and buckets round-robin
+        # across local devices like the realign path.
+        import os as _os
+
+        import jax
 
         from .. import native as _native
         from ..ops.band import band_masks_device, pack_compact_batch
@@ -465,14 +477,31 @@ def align_candidates(
             STEP_BLOCK, compact_device_batch, expand_rel_codes,
         )
         from ..ops.wavefront_pallas import banded_nw_pallas
-        from ..parallel.runtime import with_retries
+        from ..parallel.runtime import local_dispatch_devices, with_retries
 
-        comp = pack_compact_batch(reads, windows, width=cfg.band_width,
-                                  paths=paths, quantize=True)
-        d1k = -(-comp.num_steps // STEP_BLOCK) * STEP_BLOCK
+        devices = local_dispatch_devices()
+        # One bucket per local device by default: measured on the axon
+        # tunnel, copy_to_host_async pulls do NOT overlap device compute
+        # (4-bucket pipelining at N=1024 was ~10% slower than one
+        # batch), so finer bucketing only pays when it feeds more chips.
+        default_lanes = max(1, -(-len(candidates) // max(1, len(devices))))
+        max_lanes = int(_os.environ.get("MARGINALIGN_GUIDE_BUCKET",
+                                        str(default_lanes)))
+        order = sorted(range(len(candidates)),
+                       key=lambda i: len(reads[i]) + len(windows[i]))
+        buckets = [order[i : i + max_lanes]
+                   for i in range(0, len(order), max_lanes)]
 
-        def _run():
+        def _dispatch(bidx, device):
+            comp = pack_compact_batch(
+                [reads[i] for i in bidx], [windows[i] for i in bidx],
+                width=cfg.band_width, paths=[paths[i] for i in bidx],
+                quantize=True,
+            )
+            d1k = -(-comp.num_steps // STEP_BLOCK) * STEP_BLOCK
             comp_dev = compact_device_batch(comp)
+            if device is not None:
+                comp_dev = jax.device_put(comp_dev, device)
             xb, yb = expand_rel_codes(comp_dev, d1k)
             valid, s1, s2 = band_masks_device(
                 comp_dev.lo, comp_dev.m, comp_dev.n, comp.width, comp.wp
@@ -484,22 +513,40 @@ def align_candidates(
                 final_k=jnp.asarray(comp.final_k),
             )
             res = banded_nw_pallas(params, dev, pack_bits=4)
-            # Contiguity once here: the packed device array can pull
-            # back non-contiguous, and the per-read traceback would
-            # then re-copy the whole array every call.
-            return (np.ascontiguousarray(np.asarray(res.pointers)),
-                    np.asarray(res.final_state))
+            for a in (res.pointers, res.final_state):
+                if hasattr(a, "copy_to_host_async"):
+                    a.copy_to_host_async()
+            return comp, res.pointers, res.final_state
 
-        pointers, final_states = with_retries(_run)
-        bits = 4
-        if not _native.available():
-            pointers = _native.unpack_ptrs(pointers, bits, comp.wp)
-            bits = 8
+        pending = []
+        for bi, bidx in enumerate(buckets):
+            dev_t = devices[bi % len(devices)] if len(devices) > 1 else None
+            pending.append((
+                bidx,
+                with_retries(lambda b=bidx, d=dev_t: _dispatch(b, d)),
+            ))
+
+        ops_by_cand: List[Optional[List[Tuple[int, int]]]] = (
+            [None] * len(candidates)
+        )
+        for bidx, (comp, ptr_dev, fs_dev) in pending:
+            # Contiguity once per bucket: the packed device array can
+            # pull back non-contiguous, and the per-read traceback
+            # would then re-copy the whole array every call.
+            pointers = np.ascontiguousarray(np.asarray(ptr_dev))
+            final_states = np.asarray(fs_dev)
+            bits = 4
+            if not _native.available():
+                pointers = _native.unpack_ptrs(pointers, bits, comp.wp)
+                bits = 8
+            for local_b, i in enumerate(bidx):
+                ops_by_cand[i] = traceback(
+                    pointers, comp, local_b, int(final_states[local_b]),
+                    bits=bits,
+                )
         records = []
-        for b, c in enumerate(candidates):
-            ops = traceback(pointers, comp, b, int(final_states[b]),
-                            bits=bits)
-            rec = _ops_to_record(c, ops, index)
+        for i, c in enumerate(candidates):
+            rec = _ops_to_record(c, ops_by_cand[i], index)
             if rec is not None:
                 records.append(rec)
         return records

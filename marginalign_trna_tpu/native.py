@@ -103,15 +103,17 @@ def unpack_ptrs(packed: np.ndarray, bits: int, wp: int) -> np.ndarray:
 
 
 def _rle(ops: np.ndarray) -> List[Tuple[int, int]]:
-    """Run-length encode a reversed op array into [(op, len)] (fwd order)."""
-    out: List[Tuple[int, int]] = []
-    for op in ops[::-1]:
-        op = int(op)
-        if out and out[-1][0] == op:
-            out[-1] = (op, out[-1][1] + 1)
-        else:
-            out.append((op, 1))
-    return out
+    """Run-length encode a reversed op array into [(op, len)] (fwd order).
+    Vectorised: the per-element Python loop cost ~1.3ms per 7kb-read
+    traceback, which at production read counts was a visible slice of the
+    guide/realign walls."""
+    if len(ops) == 0:
+        return []
+    ops = ops[::-1]
+    change = np.flatnonzero(np.diff(ops)) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(ops)]])
+    return [(int(ops[s]), int(e - s)) for s, e in zip(starts, ends)]
 
 
 def nw_traceback(

@@ -45,27 +45,30 @@ def path_from_cigar(
     to the aligned region (no clips).  Returns strictly-increasing d values
     and the corresponding i values, starting at (0, 0).
     """
-    ds = [0]
-    is_ = [0]
+    d_parts = [np.zeros(1, np.int64)]
+    i_parts = [np.zeros(1, np.int64)]
     i = j = 0
     for op, length in ops:
         if op == 0:
-            for _ in range(length):
-                i += 1
-                j += 1
-                ds.append(i + j)
-                is_.append(i)
+            # Per-run arange instead of a per-base Python loop: cigars
+            # carry thousands of M bases per run and this sits on the
+            # per-record realign path.
+            step = np.arange(1, length + 1, dtype=np.int64)
+            d_parts.append(i + j + 2 * step)
+            i_parts.append(i + step)
+            i += length
+            j += length
         elif op == 1:
             i += length
-            ds.append(i + j)
-            is_.append(i)
+            d_parts.append(np.array([i + j], np.int64))
+            i_parts.append(np.array([i], np.int64))
         elif op == 2:
             j += length
-            ds.append(i + j)
-            is_.append(i)
+            d_parts.append(np.array([i + j], np.int64))
+            i_parts.append(np.array([i], np.int64))
         else:
             raise ValueError("Unexpected op %d in aligned cigar" % op)
-    return np.asarray(ds, dtype=np.int64), np.asarray(is_, dtype=np.int64)
+    return np.concatenate(d_parts), np.concatenate(i_parts)
 
 
 def band_offsets(
