@@ -63,17 +63,51 @@ def main():
         )
     )
     tables = make_tables(hmm)
-    dev = make_fb_device_batch(batch)
+
+    from marginalign_trna_tpu.ops.dispatch import (
+        use_circ, use_compact_streams, use_pallas,
+    )
 
     import jax as _jax
 
-    @_jax.jit
-    def _serve_scalar(d):
-        logZ, post = fb_posteriors(tables, d)
-        # Reduce on device: queued steady-state calls must not each hold a
-        # multi-GB posterior band (device OOM), and the scalar forces the
-        # band to actually be produced and consumed.
-        return logZ.sum() + post.sum()
+    # BENCH_COMPACT=on serves from the compact path (device stream
+    # expansion every call).  Default OFF: this bench deliberately
+    # measures the DEVICE-RESIDENT steady state (streams uploaded once,
+    # outside the timed loop), and the expansion kernels exist to
+    # replace per-bucket H2D (~2.2s) at a measured ~0.46s of device
+    # time per 2048-lane batch — a production win that reads as pure
+    # overhead in an H2D-excluded bench.
+    compact = (use_pallas() and use_circ() and use_compact_streams()
+               and os.environ.get("BENCH_COMPACT", "") == "on")
+    if compact:
+        from marginalign_trna_tpu.ops.band import pack_compact_batch
+        from marginalign_trna_tpu.ops.fb_pallas import (
+            compact_device_batch, posteriors_pallas_compact,
+        )
+        from __graft_entry__ import _example_sequences
+
+        reads, refs, paths = _example_sequences(
+            n_reads, read_len, read_len, seed=1
+        )
+        comp = pack_compact_batch(reads, refs, width=21, paths=paths,
+                                  quantize=True)
+        cells = comp.dp_cells()
+        dev = compact_device_batch(comp)
+
+        @_jax.jit
+        def _serve_scalar(d):
+            logZ, post = posteriors_pallas_compact(tables, d, 21)
+            return logZ.sum() + post.sum()
+    else:
+        dev = make_fb_device_batch(batch)
+
+        @_jax.jit
+        def _serve_scalar(d):
+            logZ, post = fb_posteriors(tables, d)
+            # Reduce on device: queued steady-state calls must not each
+            # hold a multi-GB posterior band (device OOM), and the scalar
+            # forces the band to actually be produced and consumed.
+            return logZ.sum() + post.sum()
 
     def run_sync():
         # Per-call sync: pays the ~25ms host<->device round-trip per call.

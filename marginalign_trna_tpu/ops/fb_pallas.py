@@ -2615,62 +2615,14 @@ def _make_bwd_kernel_circ_emw(st, gc):
     return kernel
 
 
-def _posteriors_circ_sv(st, gc, cdev):
-    """Signed-emission serving: like _posteriors_circ but the XLA
-    precompute pass emits es = em * valid - (1 - valid) and neither Pallas
-    pass reads a valid stream."""
-    D1, Wp, B = cdev.xb.shape
-    K = STEP_BLOCK
-    D1K = -(-D1 // K) * K
-    G = D1K // K
-
-    valid = _pad_steps(cdev.valid.astype(jnp.int8), D1K)
-    fink = cdev.fink.astype(jnp.int32)[None, :]
-    find = cdev.final_d.astype(jnp.int32)[None, :]
-
-    xb = _pad_steps(cdev.xb, D1K)
-    yb = _pad_steps(cdev.yb, D1K)
-    vf = valid.astype(jnp.float32)
-    es = _precompute_ematch(st, xb, yb) * vf - (1.0 - vf)
-
-    blk3 = pl.BlockSpec((K, Wp, B), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    blk2 = pl.BlockSpec((K, 1, B), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    rev3 = pl.BlockSpec((K, Wp, B), lambda i: (G - 1 - i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    rev2 = pl.BlockSpec((K, 1, B), lambda i: (G - 1 - i, 0, 0),
-                        memory_space=pltpu.VMEM)
-
-    scratch = (
-        [pltpu.VMEM((Wp, B), jnp.float32) for _ in range(10)]
-        + [pltpu.VMEM((1, B), jnp.float32), pltpu.VMEM((1, B), jnp.float32)]
+def _sv_from_es(st, gc, es, fink, find):
+    """Signed-emission posterior serving from a prepared es stream:
+    (logZ, post [D1K, Wp, B] CIRC layout)."""
+    D1K, Wp, B = es.shape
+    G, blk3, blk2, full, rev3, rev2, tail_spec, scratch = _sv_specs(
+        D1K, Wp, B
     )
-    bwd_scratch = scratch + [
-        pltpu.VMEM((Wp, B), jnp.float32), pltpu.VMEM((Wp, B), jnp.float32),
-    ]
-    bm, bls2, zrow = pl.pallas_call(
-        _make_bwd_kernel_circ_sv(st, gc),
-        grid=(G,),
-        in_specs=[rev3, full, full],
-        out_specs=[rev3, rev2,
-                   pl.BlockSpec((1, 1, B), lambda i: (0, 0, 0),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[
-            jax.ShapeDtypeStruct((D1K, Wp, B), jnp.float32),
-            jax.ShapeDtypeStruct((D1K, 1, B), jnp.float32),
-            jax.ShapeDtypeStruct((1, 1, B), jnp.float32),
-        ],
-        scratch_shapes=bwd_scratch,
-        interpret=_use_interpret(),
-        compiler_params=_compiler_params(min_mb=64),
-    )(es, fink, find)
-
-    logZ = (
-        jnp.log(jnp.maximum(zrow[0, 0, :], 1e-30)) + bls2[0, 0, :]
-    )
-
+    bm, bls2, logZ = _sv_backward_call(st, gc, es, fink, find)
     post = pl.pallas_call(
         _make_fwd_kernel_circ_post_sv(st, gc),
         grid=(G,),
@@ -2682,6 +2634,26 @@ def _posteriors_circ_sv(st, gc, cdev):
         **({"compiler_params": _compiler_params()}
            if _compiler_params() else {}),
     )(es, bm, bls2, logZ[None, :])[0]
+    return logZ, post
+
+
+def _posteriors_circ_sv(st, gc, cdev):
+    """Signed-emission serving: like _posteriors_circ but the XLA
+    precompute pass emits es = em * valid - (1 - valid) and neither Pallas
+    pass reads a valid stream."""
+    D1, Wp, B = cdev.xb.shape
+    K = STEP_BLOCK
+    D1K = -(-D1 // K) * K
+
+    valid = _pad_steps(cdev.valid.astype(jnp.int8), D1K)
+    fink = cdev.fink.astype(jnp.int32)[None, :]
+    find = cdev.final_d.astype(jnp.int32)[None, :]
+
+    xb = _pad_steps(cdev.xb, D1K)
+    yb = _pad_steps(cdev.yb, D1K)
+    vf = valid.astype(jnp.float32)
+    es = _precompute_ematch(st, xb, yb) * vf - (1.0 - vf)
+    logZ, post = _sv_from_es(st, gc, es, fink, find)
     return logZ, post[:D1]
 
 
@@ -3560,6 +3532,32 @@ def posteriors_expectations_pallas_compact(tables: FbTables, comp,
     check_uniform_pi(tables)
     d1k = -(-comp.lo.shape[0] // STEP_BLOCK) * STEP_BLOCK
     return _posteriors_circ_cx_compact_static(
+        static_tables(tables), comp, width, d1k
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("st", "width", "d1k"))
+def _posteriors_sv_compact_static(st, comp: CompactCircBatch,
+                                  width: int, d1k: int):
+    gc = _flat_gap_consts(st)
+    assert gc is not None, "compact path needs flat gap emissions"
+    es, _, _, _, _ = _expand_streams(st, comp, width, d1k, want_yb=False)
+    fink = comp.fink.astype(jnp.int32)[None, :]
+    find = comp.final_d.astype(jnp.int32)[None, :]
+    logZ, post = _sv_from_es(st, gc, es, fink, find)
+    return logZ, post[: comp.lo.shape[0]]
+
+
+def posteriors_pallas_compact(tables: FbTables, comp, width: int):
+    """(logZ, posterior band in CIRC layout) over a CompactCircBatch:
+    the es stream comes from the device expansion kernel instead of the
+    XLA precompute over uploaded xb/yb/valid — the byte mix drops from
+    26 to ~24 B/cell system-wide and the host uploads only sequences +
+    offsets.  Posterior values equal posteriors_pallas_circ(mode='sv')
+    exactly (same es bytes by tests/test_expand.py)."""
+    check_uniform_pi(tables)
+    d1k = -(-comp.lo.shape[0] // STEP_BLOCK) * STEP_BLOCK
+    return _posteriors_sv_compact_static(
         static_tables(tables), comp, width, d1k
     )
 

@@ -337,6 +337,32 @@ def test_guide_compact_matches_host_path(rng, monkeypatch):
             for r in got]
 
 
+def test_compact_sv_posteriors_match_circ(rng):
+    """posteriors_pallas_compact == posteriors_pallas_circ(mode='sv')."""
+    from marginalign_trna_tpu.models.hmm import PairHmm
+    from marginalign_trna_tpu.ops.fb import circ_device_batch, make_tables
+    from marginalign_trna_tpu.ops.fb_pallas import (
+        compact_device_batch, posteriors_pallas_circ,
+        posteriors_pallas_compact,
+    )
+
+    hmm = PairHmm.load("marginalign_trna_tpu/models/last_hmm_20.txt")
+    tables = make_tables(hmm)
+    reads, refs, paths = _mk_inputs(rng)
+    full = pack_banded_batch(reads, refs, width=21, paths=paths,
+                             quantize=True)
+    comp = pack_compact_batch(reads, refs, width=21, paths=paths,
+                              quantize=True)
+    want = posteriors_pallas_circ(tables, circ_device_batch(full),
+                                  mode="sv")
+    got = posteriors_pallas_compact(tables, compact_device_batch(comp),
+                                    full.width)
+    for nm, w, g in zip(("logZ", "post"), want, got):
+        w, g = np.asarray(w), np.asarray(g)
+        assert w.shape == g.shape, (nm, w.shape, g.shape)
+        assert np.array_equal(w, g), (nm, np.abs(w - g).max())
+
+
 def test_compact_cx_serving_matches_circ(rng):
     """Full fused caller serving: compact == circ path outputs."""
     from marginalign_trna_tpu.models.hmm import PairHmm
