@@ -455,7 +455,10 @@ def align_candidates(
                 records.append(rec)
         return records
 
-    from ..ops.dispatch import use_compact_streams, use_pallas
+    from ..ops.dispatch import (
+        use_compact_streams, use_device_traceback as _use_device_tb,
+        use_pallas,
+    )
 
     if use_pallas() and use_compact_streams():
         # Compact device path: host packs only sequences + band offsets;
@@ -512,6 +515,22 @@ def align_candidates(
                 final_d=jnp.asarray(comp.final_d),
                 final_k=jnp.asarray(comp.final_k),
             )
+            if _use_device_tb():
+                # Traceback ON DEVICE: only the [ceil(D1/4), B] 2-bit
+                # move stream crosses the tunnel (~40x fewer bytes than
+                # the 4-bit pointer band at width 40; D2H is ~30MB/s).
+                from ..ops.traceback_device import (
+                    nw_moves_device, pack_moves,
+                )
+
+                res = banded_nw_pallas(params, dev)
+                mv = pack_moves(nw_moves_device(
+                    res.pointers[: comp.num_steps], comp_dev.lo,
+                    comp_dev.m, comp_dev.n, res.final_state,
+                ))
+                if hasattr(mv, "copy_to_host_async"):
+                    mv.copy_to_host_async()
+                return comp, mv, None
             res = banded_nw_pallas(params, dev, pack_bits=4)
             for a in (res.pointers, res.final_state):
                 if hasattr(a, "copy_to_host_async"):
@@ -530,6 +549,18 @@ def align_candidates(
             [None] * len(candidates)
         )
         for bidx, (comp, ptr_dev, fs_dev) in pending:
+            if fs_dev is None:
+                from ..ops.traceback_device import (
+                    ops_from_moves, unpack_moves,
+                )
+
+                moves = unpack_moves(
+                    np.ascontiguousarray(np.asarray(ptr_dev)),
+                    comp.num_steps - 1,
+                )
+                for local_b, i in enumerate(bidx):
+                    ops_by_cand[i] = ops_from_moves(moves, local_b)
+                continue
             # Contiguity once per bucket: the packed device array can
             # pull back non-contiguous, and the per-read traceback
             # would then re-copy the whole array every call.

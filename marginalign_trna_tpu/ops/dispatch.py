@@ -81,6 +81,21 @@ def use_compact_streams() -> bool:
     return use_pallas() and use_circ()
 
 
+def use_device_traceback() -> bool:
+    """Device-side traceback scans (ops/traceback_device.py): the NW/MEA
+    walks run on device and only a 2-bit [ceil(D1/4), B] MOVE stream
+    crosses to the host — ~40x fewer D2H bytes than the bit-packed
+    pointer bands (the guide/realign wall on a ~30MB/s tunnel).  Default
+    on wherever Pallas runs; MARGINALIGN_DEVICE_TB=off restores the
+    pointer pull + host/native traceback."""
+    env = os.environ.get("MARGINALIGN_DEVICE_TB", "").lower()
+    if env in ("on", "1"):
+        return True
+    if env in ("off", "0"):
+        return False
+    return use_pallas()
+
+
 def make_fb_device_batch(batch):
     """Layout-appropriate device streams for fb_posteriors (a
     CircDeviceBatch on the circular path, else a DeviceBatch)."""

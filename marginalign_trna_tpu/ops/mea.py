@@ -290,7 +290,33 @@ def mea_decode(
         # take_along_axis gather-back, which scalarises on TPU, is
         # replaced by two monotone_gather entering-value streams).
         accr, accc = rowcol
+        from .dispatch import use_device_traceback
         from .wavefront_pallas import banded_mea_pallas_dl
+
+        if use_device_traceback():
+            # Traceback ON DEVICE (ops/traceback_device.py): only the
+            # 2-bit [ceil(D1/4), B] move stream crosses the ~30MB/s
+            # tunnel — ~20x fewer bytes than even the 2-bit pointer
+            # band.
+            from .traceback_device import (
+                mea_moves_device, ops_from_moves, pack_moves,
+                unpack_moves,
+            )
+
+            lo_dev = jnp.asarray(batch.lo)
+            res = banded_mea_pallas_dl(
+                jnp.asarray(post), lo_dev, batch.m, batch.n,
+                batch.width, batch.final_d, batch.final_k, accr, accc,
+                gap_gamma, match_gamma, pack_bits=8,
+            )
+            mv = pack_moves(mea_moves_device(
+                res.pointers, lo_dev, jnp.asarray(batch.m),
+                jnp.asarray(batch.n),
+            ))
+            moves = unpack_moves(
+                np.ascontiguousarray(np.asarray(mv)), D1 - 1
+            )
+            return [ops_from_moves(moves, b) for b in range(B)]
 
         # 2-bit packed pointers: D2H on the remote tunnel measures
         # ~30MB/s, so the pointer pull dominated the realign wall; the
@@ -341,6 +367,23 @@ def mea_decode(
             jnp.asarray(batch.s2),
             jnp.asarray(batch.final_d), jnp.asarray(batch.final_k),
         )
+    from .dispatch import use_device_traceback
+
+    if use_device_traceback():
+        import jax.numpy as _jnp
+
+        from .traceback_device import (
+            mea_moves_device, ops_from_moves, pack_moves, unpack_moves,
+        )
+
+        mv = pack_moves(mea_moves_device(
+            res.pointers, _jnp.asarray(batch.lo),
+            _jnp.asarray(batch.m), _jnp.asarray(batch.n),
+        ))
+        moves = unpack_moves(
+            np.ascontiguousarray(np.asarray(mv)), D1 - 1
+        )
+        return [ops_from_moves(moves, b) for b in range(B)]
     pointers = np.ascontiguousarray(np.asarray(res.pointers))
     out = []
     for b in range(B):
