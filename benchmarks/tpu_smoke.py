@@ -297,6 +297,47 @@ def main():
 
     _b0()
 
+    @smoke("device traceback scans")
+    def _t0():
+        from marginalign_trna_tpu.ops.nw import traceback
+        from marginalign_trna_tpu.ops.traceback_device import (
+            mea_moves_device, nw_moves_device, ops_from_moves,
+            pack_moves, unpack_moves,
+        )
+
+        res = wf.banded_nw_pallas(params, dev)
+        lo_d = jnp.asarray(batch.lo)
+        m_d = jnp.asarray(batch.m)
+        n_d = jnp.asarray(batch.n)
+        mv = pack_moves(nw_moves_device(
+            res.pointers, lo_d, m_d, n_d, res.final_state
+        ))
+        moves = unpack_moves(
+            np.ascontiguousarray(np.asarray(mv)), batch.num_steps - 1
+        )
+        ptrs = np.ascontiguousarray(np.asarray(res.pointers))
+        fs = np.asarray(res.final_state)
+        for b in range(3):
+            assert (ops_from_moves(moves, b)
+                    == traceback(ptrs, batch, b, int(fs[b])))
+        D1, Wp, B = batch.xb.shape
+        post = rng.random((D1, Wp, B)).astype(np.float32) * batch.valid
+        rgm = -(-max(int(batch.m.max()), 1) // 256) * 256
+        rgn = -(-max(int(batch.n.max()), 1) // 256) * 256
+        resm = wf.banded_mea_pallas_dl(
+            jnp.asarray(post), batch.lo, batch.m, batch.n, batch.width,
+            batch.final_d, batch.final_k,
+            jnp.zeros((rgm, B), jnp.float32),
+            jnp.zeros((rgn, B), jnp.float32), 0.5, 0.0,
+        )
+        mvm = pack_moves(mea_moves_device(resm.pointers, lo_d, m_d, n_d))
+        movesm = unpack_moves(
+            np.ascontiguousarray(np.asarray(mvm)), batch.num_steps - 1
+        )
+        assert ops_from_moves(movesm, 0)
+
+    _t0()
+
     if FAILED:
         print("TPU SMOKE: %d FAILED: %s" % (len(FAILED), FAILED))
         sys.exit(1)
