@@ -171,6 +171,15 @@ class KmerIndex:
         self._ri = ri_a[order]
         self._pos = pos_a[order].astype(np.int64)
         self.n_refs = len(self.ref_names)
+        # Direct-address presence table: only ~6% of noisy-read k-mers
+        # exist in the reference at all, and the searchsorted calls were
+        # ~60% of the seeding wall — one vectorised bool gather drops
+        # the guaranteed misses first (identical results; cnt==0 rows
+        # were filtered anyway).  4^13 bools = 67MB; skipped for k > 13.
+        self._present: Optional[np.ndarray] = None
+        if k <= 13 and len(self._vals):
+            self._present = np.zeros(4 ** k, dtype=bool)
+            self._present[self._vals] = True
 
     def hits(self, read_codes: np.ndarray, max_per_kmer: int):
         """-> per-ref dict {ref_idx: (qpos array, rpos array)}.
@@ -190,6 +199,12 @@ class KmerIndex:
         qpos = positions[keep]
         if not len(q) or not len(self._vals):
             return out
+        if self._present is not None:
+            pf = self._present[q]
+            q = q[pf]
+            qpos = qpos[pf]
+            if not len(q):
+                return out
         left = np.searchsorted(self._vals, q, side="left")
         right = np.searchsorted(self._vals, q, side="right")
         cnt = right - left

@@ -45,30 +45,33 @@ def path_from_cigar(
     to the aligned region (no clips).  Returns strictly-increasing d values
     and the corresponding i values, starting at (0, 0).
     """
-    d_parts = [np.zeros(1, np.int64)]
-    i_parts = [np.zeros(1, np.int64)]
-    i = j = 0
-    for op, length in ops:
-        if op == 0:
-            # Per-run arange instead of a per-base Python loop: cigars
-            # carry thousands of M bases per run and this sits on the
-            # per-record realign path.
-            step = np.arange(1, length + 1, dtype=np.int64)
-            d_parts.append(i + j + 2 * step)
-            i_parts.append(i + step)
-            i += length
-            j += length
-        elif op == 1:
-            i += length
-            d_parts.append(np.array([i + j], np.int64))
-            i_parts.append(np.array([i], np.int64))
-        elif op == 2:
-            j += length
-            d_parts.append(np.array([i + j], np.int64))
-            i_parts.append(np.array([i], np.int64))
-        else:
-            raise ValueError("Unexpected op %d in aligned cigar" % op)
-    return np.concatenate(d_parts), np.concatenate(i_parts)
+    if not len(ops):
+        return np.zeros(1, np.int64), np.zeros(1, np.int64)
+    # Fully vectorised over runs AND bases (a per-run Python loop still
+    # cost ~1.4ms/record at realign corpus sizes, e2e profile round 5):
+    # each M run emits one (d, i) entry per base, I/D runs one entry at
+    # the run end; within-run offsets come from one arange minus the
+    # repeated exclusive run starts.
+    arr = np.asarray(ops, dtype=np.int64).reshape(-1, 2)
+    opv, ln = arr[:, 0], arr[:, 1]
+    if opv.size and (opv.min() < 0 or opv.max() > 2):
+        raise ValueError(
+            "Unexpected op %d in aligned cigar" % int(
+                opv[(opv < 0) | (opv > 2)][0])
+        )
+    i_end = np.cumsum(np.where(opv != 2, ln, 0))
+    j_end = np.cumsum(np.where(opv != 1, ln, 0))
+    i0 = i_end - np.where(opv != 2, ln, 0)
+    j0 = j_end - np.where(opv != 1, ln, 0)
+    counts = np.where(opv == 0, ln, 1)
+    starts = np.cumsum(counts) - counts
+    rep = np.repeat(np.arange(len(opv)), counts)
+    t = np.arange(int(counts.sum()), dtype=np.int64) - starts[rep] + 1
+    is_m = opv[rep] == 0
+    d = np.where(is_m, i0[rep] + j0[rep] + 2 * t, i_end[rep] + j_end[rep])
+    iv = np.where(is_m, i0[rep] + t, i_end[rep])
+    z = np.zeros(1, np.int64)
+    return np.concatenate([z, d]), np.concatenate([z, iv])
 
 
 def band_offsets(

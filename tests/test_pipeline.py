@@ -187,3 +187,4 @@ def test_mapper_presets_distinct_and_beat_reference_mappers(fixtures_dir,
         assert n_our >= n_ref, (preset, n_our, n_ref)
         assert id_our >= id_ref - 0.005, (preset, id_our, id_ref)
         assert cov_our >= cov_ref - 0.005, (preset, cov_our, cov_ref)
+
