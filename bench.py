@@ -53,9 +53,6 @@ def main():
     read_len = int(os.environ.get("BENCH_READ_LEN", "3500"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
-    batch = _example_batch(n_reads, read_len, read_len, width=21, seed=1)
-    cells = batch.dp_cells()
-
     hmm = PairHmm.load(
         os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
@@ -99,6 +96,11 @@ def main():
             logZ, post = posteriors_pallas_compact(tables, d, 21)
             return logZ.sum() + post.sum()
     else:
+        # Built here, not above: the compact branch never touches the
+        # band-shaped arrays, and this host build is multi-GB at B=3072.
+        batch = _example_batch(n_reads, read_len, read_len, width=21,
+                               seed=1)
+        cells = batch.dp_cells()
         dev = make_fb_device_batch(batch)
 
         @_jax.jit

@@ -400,8 +400,13 @@ def _train_em_lockstep(
     """All trials advance together: per iteration, ONE device call per
     E-step batch computes every trial's counts (trials = major grid axis on
     the counts kernels).  Trial trajectories are identical to the serial
-    path (same seeds, same per-trial arithmetic); converged trials freeze
-    (params stop updating) until all are done."""
+    path (same seeds, same per-trial arithmetic) EXCEPT under
+    update_band_every: lockstep shares one band (derived from the current
+    best trial's model) across all trials, while the serial path keeps
+    each trial's band trial-local — a documented deviation, since
+    per-trial bands would need per-trial E-step batches and break the
+    single-call lockstep shape.  Converged trials freeze (params stop
+    updating) until all are done."""
     from .checkpoint import EmLockstepCheckpoint
 
     ntr = options.trials
@@ -414,6 +419,19 @@ def _train_em_lockstep(
         frozen = list(ck.frozen)
         start_iter = ck.iteration
         lls = np.array([h[-1] if h else -np.inf for h in histories])
+        if (options.update_band_every and jobs is not None
+                and start_iter > 0 and not all(frozen)):
+            # Band state is not checkpointed: re-derive it from the
+            # restored best model so a resumed run matches an
+            # uninterrupted one (exactly, when update_band_every == 1;
+            # for larger periods the resumed band is at most one period
+            # fresher — documented deviation).
+            jobs = _update_band_jobs(
+                jobs, hmms[int(np.argmax(lls))], options
+            )
+            batches = prepare_em_batches(
+                jobs, options.band_width, options.max_batch_cells
+            )
     else:
         hmms = [_init_trial_hmm(options, input_hmm, t) for t in range(ntr)]
         histories = [[] for _ in range(ntr)]

@@ -517,9 +517,7 @@ def align_candidates(
                 quantize=True,
             )
             d1k = -(-comp.num_steps // STEP_BLOCK) * STEP_BLOCK
-            comp_dev = compact_device_batch(comp)
-            if device is not None:
-                comp_dev = jax.device_put(comp_dev, device)
+            comp_dev = compact_device_batch(comp, device)
             xb, yb = expand_rel_codes(comp_dev, d1k)
             valid, s1, s2 = band_masks_device(
                 comp_dev.lo, comp_dev.m, comp_dev.n, comp.width, comp.wp
@@ -555,34 +553,52 @@ def align_candidates(
         pending = []
         for bi, bidx in enumerate(buckets):
             dev_t = devices[bi % len(devices)] if len(devices) > 1 else None
-            pending.append((
-                bidx,
-                with_retries(lambda b=bidx, d=dev_t: _dispatch(b, d)),
-            ))
+            run = lambda b=bidx, d=dev_t: _dispatch(b, d)
+            pending.append((bidx, run, with_retries(run)))
 
         ops_by_cand: List[Optional[List[Tuple[int, int]]]] = (
             [None] * len(candidates)
         )
-        for bidx, (comp, ptr_dev, fs_dev) in pending:
+        for bidx, run, res in pending:
+            # Materialise under retry WITH re-dispatch: transient tunnel
+            # failures surface at the async D2H pull, after the enqueue
+            # already succeeded (same holder pattern as realign's
+            # _drain_one).
+            holder = [res]
+
+            def _materialise():
+                if holder[0] is None:
+                    holder[0] = run()
+                comp_, ptr_, fs_ = holder[0]
+                try:
+                    return (
+                        comp_,
+                        np.ascontiguousarray(np.asarray(ptr_)),
+                        None if fs_ is None else np.asarray(fs_),
+                    )
+                except Exception:
+                    holder[0] = None
+                    raise
+
+            comp, ptr_host, fs_dev = with_retries(_materialise)
             if fs_dev is None:
                 from ..ops.traceback_device import (
                     ops_from_moves, unpack_moves,
                 )
 
-                moves = unpack_moves(
-                    np.ascontiguousarray(np.asarray(ptr_dev)),
-                    comp.num_steps - 1,
-                )
+                moves = unpack_moves(ptr_host, comp.num_steps - 1)
                 for local_b, i in enumerate(bidx):
                     ops_by_cand[i] = ops_from_moves(moves, local_b)
                 continue
             # Contiguity once per bucket: the packed device array can
             # pull back non-contiguous, and the per-read traceback
             # would then re-copy the whole array every call.
-            pointers = np.ascontiguousarray(np.asarray(ptr_dev))
-            final_states = np.asarray(fs_dev)
+            pointers = ptr_host
+            final_states = fs_dev
             bits = 4
-            if not _native.available():
+            if not _native.has_packed_readers():
+                # No native lib, or stale .so without packed readers
+                # (per-read full-array unpacking otherwise).
                 pointers = _native.unpack_ptrs(pointers, bits, comp.wp)
                 bits = 8
             for local_b, i in enumerate(bidx):

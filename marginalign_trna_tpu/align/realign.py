@@ -257,6 +257,15 @@ def realigned_ops_for_jobs(
     tables = make_tables(hmm)
     results: List[Optional[List[Tuple[int, int]]]] = [None] * len(jobs)
 
+    # The circ/compact/fused serving kernels fold gap emissions into
+    # transition constants and ASSERT flat gap rows; EM-trained models
+    # mid-training (updateTheBand) or un-normalised trial models are
+    # generically non-flat.  Those route through the REL specialised
+    # path, whose generic branch loads emissions per state.
+    from ..ops.dispatch import has_flat_gap_emissions
+
+    flat_gaps = has_flat_gap_emissions(tables)
+
     if _use_multi_packing(jobs, hmm):
         # Short-read (tRNA-scale) jobs: several problems per lane recover
         # the ~5x step-padding waste of quantized batches (ops/band.py
@@ -316,7 +325,7 @@ def realigned_ops_for_jobs(
             return (jax.device_put(dev_tree, device)
                     if device is not None else dev_tree)
 
-        if use_fused_realign() and use_compact_streams():
+        if use_fused_realign() and use_compact_streams() and flat_gaps:
             from ..ops.band import pack_compact_batch
             from ..ops.fb_pallas import (
                 compact_device_batch, posteriors_weights_pallas_compact,
@@ -332,7 +341,8 @@ def realigned_ops_for_jobs(
             )
             _, post_rel, flc, flr, tc, tr = (
                 posteriors_weights_pallas_compact(
-                    tables, _place(compact_device_batch(batch)), band_width,
+                    tables, compact_device_batch(batch, device),
+                    band_width,
                 )
             )
             rowcol = rowcol_sums_from_flushed(batch, flc, flr, tc, tr)
@@ -345,7 +355,14 @@ def realigned_ops_for_jobs(
             paths=[jobs[i].path for i in bucket],
             quantize=True,
         )
-        dev = _place(make_fb_device_batch(batch))
+        if not flat_gaps:
+            # Non-flat gap emissions: REL layout + the specialised
+            # kernels' generic branch (circ asserts flat).
+            from ..ops.fb import device_batch as _rel_device_batch
+
+            dev = _place(_rel_device_batch(batch))
+        else:
+            dev = _place(make_fb_device_batch(batch))
         if isinstance(dev, CircDeviceBatch) and use_fused_realign():
             import jax.numpy as jnp
 

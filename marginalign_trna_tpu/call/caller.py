@@ -165,10 +165,16 @@ def accumulate_expectations(
 
     import jax
 
-    from ..ops.dispatch import use_compact_streams, use_fused_caller
+    from ..ops.dispatch import (
+        has_flat_gap_emissions, use_compact_streams, use_fused_caller,
+    )
     from ..parallel.runtime import local_dispatch_devices
 
-    compact = use_fused_caller() and use_compact_streams()
+    # Non-flat gap emissions (un-normalised EM-trained models) cannot use
+    # the circ/compact/fused kernels (they assert flat gap rows); route
+    # through the REL specialised path's generic branch instead.
+    flat_gaps = has_flat_gap_emissions(tables)
+    compact = use_fused_caller() and use_compact_streams() and flat_gaps
     devices = local_dispatch_devices()
     if len(devices) > 1:
         pipeline_depth = max(pipeline_depth, 2 * len(devices))
@@ -210,10 +216,16 @@ def accumulate_expectations(
                 from ..ops.fb_pallas import compact_device_batch
 
                 return band_expectations_cx(
-                    tables, b, _place(compact_device_batch(b)), off, total,
+                    tables, b, compact_device_batch(b, device), off,
+                    total,
                     n_real=nb, as_device=True,
                 )
-            dev = _place(make_fb_device_batch(b))
+            if not flat_gaps:
+                from ..ops.fb import device_batch as _rel_device_batch
+
+                dev = _place(_rel_device_batch(b))
+            else:
+                dev = _place(make_fb_device_batch(b))
             if isinstance(dev, CircDeviceBatch) and use_fused_caller():
                 from ..ops.expectations import band_expectations_cx
 

@@ -88,6 +88,17 @@ def available() -> bool:
     return _load() is not None
 
 
+def has_packed_readers() -> bool:
+    """True when the built .so exposes the bit-packed traceback entry
+    points (nw_traceback_b / mea_traceback_b).  A stale library without
+    them makes the per-call tracebacks return None, and callers that kept
+    pointers packed would then unpack the WHOLE array once per read —
+    the per-lane-recopy pathology; check once per bucket instead."""
+    lib = _load()
+    return (lib is not None and hasattr(lib, "nw_traceback_b")
+            and hasattr(lib, "mea_traceback_b"))
+
+
 def unpack_ptrs(packed: np.ndarray, bits: int, wp: int) -> np.ndarray:
     """Host-side inverse of wavefront_pallas.pack_ptr_bits (for the pure-
     Python traceback fallback): [D1, Wq, B] uint8 -> [D1, wp, B] uint8."""

@@ -81,6 +81,20 @@ def use_compact_streams() -> bool:
     return use_pallas() and use_circ()
 
 
+def has_flat_gap_emissions(tables) -> bool:
+    """True when every gap state's emission row is flat — the premise the
+    circ/compact/fused serving kernels assert (gap emissions fold into
+    transition constants there).  EM-trained models mid-training or
+    un-normalised trial models are generically non-flat and must route
+    through the REL specialised path's generic branch."""
+    from .fb_pallas import _flat_gap_consts, static_tables
+
+    try:
+        return _flat_gap_consts(static_tables(tables)) is not None
+    except Exception:
+        return False
+
+
 def use_device_traceback() -> bool:
     """Device-side traceback scans (ops/traceback_device.py): the NW/MEA
     walks run on device and only a 2-bit [ceil(D1/4), B] MOVE stream

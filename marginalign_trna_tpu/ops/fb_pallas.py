@@ -3351,19 +3351,25 @@ class CompactCircBatch(NamedTuple):
     y_init: jnp.ndarray   # [Wp, B] int8 d=0 read-code window
 
 
-def compact_device_batch(cb) -> CompactCircBatch:
+def compact_device_batch(cb, device=None) -> CompactCircBatch:
     """Upload a band.CompactBandedBatch (~50MB vs ~1.5GB for the
-    expanded circ streams)."""
+    expanded circ streams).  device: upload DIRECTLY to that chip —
+    jnp.asarray-then-device_put would stage every bucket through the
+    default device and pay a second device-to-device copy."""
+    if device is not None:
+        _put = lambda x: jax.device_put(np.asarray(x), device)
+    else:
+        _put = jnp.asarray
     return CompactCircBatch(
-        reads=jnp.asarray(cb.reads_p),
-        refs=jnp.asarray(cb.refs_p),
-        lo=jnp.asarray(cb.lo),
-        m=jnp.asarray(cb.m),
-        n=jnp.asarray(cb.n),
-        final_d=jnp.asarray(cb.final_d),
-        fink=jnp.asarray((cb.m.astype(np.int64) % cb.wp).astype(np.int32)),
-        x_init=jnp.asarray(cb.x_init),
-        y_init=jnp.asarray(cb.y_init),
+        reads=_put(cb.reads_p),
+        refs=_put(cb.refs_p),
+        lo=_put(cb.lo),
+        m=_put(cb.m),
+        n=_put(cb.n),
+        final_d=_put(cb.final_d),
+        fink=_put((cb.m.astype(np.int64) % cb.wp).astype(np.int32)),
+        x_init=_put(cb.x_init),
+        y_init=_put(cb.y_init),
     )
 
 

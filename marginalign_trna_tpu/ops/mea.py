@@ -334,7 +334,9 @@ def mea_decode(
         # np.ascontiguousarray inside the traceback would then copy the
         # whole pointer array once per read (measured ~50s per bucket).
         pointers = np.ascontiguousarray(np.asarray(res.pointers))
-        if not _native.available():
+        if not _native.has_packed_readers():
+            # No native lib, or a stale .so without the packed entry
+            # points (which would otherwise unpack per READ below).
             pointers = _native.unpack_ptrs(pointers, ptr_bits, Wp)
             ptr_bits = 8
         return [_traceback_one(pointers, batch, b, bits=ptr_bits)

@@ -394,3 +394,44 @@ def test_compact_cx_serving_matches_circ(rng):
         w, g = np.asarray(w), np.asarray(g)
         assert w.shape == g.shape, (nm, w.shape, g.shape)
         assert np.array_equal(w, g), (nm, np.abs(w - g).max())
+
+
+def test_nonflat_gap_model_falls_back_to_rel(rng, monkeypatch):
+    """Realign/caller with NON-FLAT gap emissions (un-normalised
+    EM-trained models, updateTheBand mid-training) must not hit the
+    circ/compact kernels' flat-gap assert: dispatch routes them through
+    the REL specialised path's generic branch, matching the XLA engine."""
+    import numpy as np
+
+    from marginalign_trna_tpu.align.realign import (
+        RealignJob, realigned_ops_for_jobs,
+    )
+    from marginalign_trna_tpu.models.hmm import PairHmm
+    from marginalign_trna_tpu.ops.band import path_from_cigar
+
+    hmm = PairHmm.load("marginalign_trna_tpu/models/last_hmm_20.txt")
+    em = hmm.emissions.copy()
+    # Perturb a gap state's emission row off flat, renormalised.
+    em[1, :4] = np.array([0.4, 0.3, 0.2, 0.1])
+    hmm.emissions = em
+    from marginalign_trna_tpu.ops.dispatch import has_flat_gap_emissions
+    from marginalign_trna_tpu.ops.fb import make_tables
+
+    assert not has_flat_gap_emissions(make_tables(hmm))
+
+    jobs = []
+    for ln in (50, 80):
+        ref = rng.integers(0, 4, ln).astype(np.int8)
+        read = ref.copy()
+        sub = rng.random(ln) < 0.1
+        read[sub] = rng.integers(0, 4, int(sub.sum()))
+        jobs.append(RealignJob(
+            record=None, read_region=read, ref_region=ref,
+            path=path_from_cigar([(0, ln)]),
+        ))
+    monkeypatch.setenv("MARGINALIGN_KERNEL", "xla")
+    want = realigned_ops_for_jobs(jobs, hmm, 0.5, 0.0, split_size=0)
+    monkeypatch.setenv("MARGINALIGN_KERNEL", "pallas")
+    monkeypatch.setenv("MARGINALIGN_COMPACT", "on")
+    got = realigned_ops_for_jobs(jobs, hmm, 0.5, 0.0, split_size=0)
+    assert want == got
