@@ -152,7 +152,7 @@ def check_uniform_pi(tables: FbTables) -> None:
     pi = tables.pi
     if isinstance(pi, jax.core.Tracer):
         return
-    if id(pi) in _UNIFORM_PI_IDS and _UNIFORM_PI_REFS.get(id(pi)) is pi:
+    if _UNIFORM_PI_MEMO.get(id(pi)) is pi:
         return
     arr = np.asarray(pi, np.float32)
     if not np.allclose(arr, 1.0 / arr.shape[-1], atol=1e-6):
@@ -161,15 +161,14 @@ def check_uniform_pi(tables: FbTables) -> None:
             f"(got pi={arr.tolist()}); use the XLA engine "
             "(MARGINALIGN_KERNEL=xla) or extend the kernels to load pi."
         )
-    if len(_UNIFORM_PI_IDS) > 256:  # bound the memo
-        _UNIFORM_PI_IDS.clear()
-        _UNIFORM_PI_REFS.clear()
-    _UNIFORM_PI_IDS.add(id(pi))
-    _UNIFORM_PI_REFS[id(pi)] = pi
+    if len(_UNIFORM_PI_MEMO) > 256:  # bound the memo
+        _UNIFORM_PI_MEMO.clear()
+    # The strong ref pins the object alive, so its id cannot be reused
+    # while the entry exists.
+    _UNIFORM_PI_MEMO[id(pi)] = pi
 
 
-_UNIFORM_PI_IDS: set = set()
-_UNIFORM_PI_REFS: dict = {}
+_UNIFORM_PI_MEMO: dict = {}
 
 
 def _flat_gap_consts(st) -> Optional[Tuple[float, float, float, float]]:
