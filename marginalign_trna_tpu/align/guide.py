@@ -503,6 +503,12 @@ def align_candidates(
         # (4-bucket pipelining at N=1024 was ~10% slower than one
         # batch), so finer bucketing only pays when it feeds more chips.
         default_lanes = max(1, -(-len(candidates) // max(1, len(devices))))
+        # Cap at 2048 real lanes: the lane ladder is strict pow2, so
+        # 2049+ pads to 4096, where the width-40 NW kernel exceeds its
+        # scoped-VMEM budget (85MB needed vs the 64MB floor — a large
+        # corpus crashed the guide stage outright, e2e N=4096 probe
+        # round 5) and monotone_gather hits its VMEM cliff.
+        default_lanes = min(default_lanes, 2048)
         max_lanes = int(_os.environ.get("MARGINALIGN_GUIDE_BUCKET",
                                         str(default_lanes)))
         order = sorted(range(len(candidates)),
